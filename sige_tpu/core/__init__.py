@@ -1,0 +1,22 @@
+"""Core mask/geometry machinery: difference masks, mask pyramids, block
+geometry, active-index reduction, and scatter ownership maps."""
+
+from .geometry import BlockGeometry
+from .masks import (
+    compute_difference_mask,
+    dilate_mask,
+    downsample_mask,
+    reduce_mask,
+    reduce_mask_padded,
+)
+from .scatter_map import build_owner_map
+
+__all__ = [
+    "BlockGeometry",
+    "compute_difference_mask",
+    "dilate_mask",
+    "downsample_mask",
+    "reduce_mask",
+    "reduce_mask_padded",
+    "build_owner_map",
+]

@@ -1,0 +1,67 @@
+"""Scatter ownership maps.
+
+The reference engine scatters conv-output tiles into a cloned cache with
+last-writer-wins races on tile overlap (benign there because overlapping
+tiles carry identical values; reference: sige/cuda/scatter_kernel.cu:37-43,
+sige/cpu/scatter_gather.cpp:58-84 ``get_scatter_map``).
+
+On TPU we invert the dataflow: a host-side planning step assigns every
+output pixel its *owning* tile (the highest-numbered covering tile — the
+same winner as the reference's sequential CPU loop), and scatter becomes a
+deterministic, fully-parallel gather "read your pixel from your owner's
+tile, else from the cache". One owner map serves plain scatter, the fused
+scatter-gather, and residual calibration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .geometry import BlockGeometry
+
+
+def build_owner_map(
+    indices: np.ndarray,
+    count: Optional[int],
+    geom: BlockGeometry,
+    out_hw: Tuple[int, int],
+) -> np.ndarray:
+    """Build the int32 [H, W] ownership map in conv-output coordinates.
+
+    ``owner[h, w]`` is the index (into ``indices``) of the highest live tile
+    whose output extent covers (h, w), or -1 if no tile covers it. The
+    per-pixel intra-tile offsets the reference stores alongside
+    (reference: sige/cpu/scatter_gather.cpp:80-83) are derived on device
+    from the owner id and the index buffer instead of being materialized.
+
+    Args:
+      indices: [K, 2] int32 tile top-lefts in padded *input* coordinates
+        (possibly SENTINEL-padded).
+      count: number of live rows in ``indices`` (None = all).
+      geom: block geometry of the gather feeding the scattered conv.
+      out_hw: (H, W) of the conv output / cache.
+    """
+    H, W = out_hw
+    owner = np.full((H, W), -1, dtype=np.int32)
+    indices = np.asarray(indices)
+    n = indices.shape[0] if count is None else int(count)
+    if n == 0:
+        return owner
+    R, S = geom.out_tile_size
+    sh, sw = geom.conv_stride
+    oh, ow = geom.offset
+
+    ib = np.arange(n, dtype=np.int32)
+    bi_h = (oh + indices[:n, 0].astype(np.int64)) // sh  # [n]
+    bi_w = (ow + indices[:n, 1].astype(np.int64)) // sw
+    hh = bi_h[:, None, None] + np.arange(R, dtype=np.int64)[None, :, None]  # [n,R,1]
+    ww = bi_w[:, None, None] + np.arange(S, dtype=np.int64)[None, None, :]  # [n,1,S]
+    hh = np.broadcast_to(hh, (n, R, S))
+    ww = np.broadcast_to(ww, (n, R, S))
+    valid = (hh >= 0) & (hh < H) & (ww >= 0) & (ww < W)
+    flat = (hh * W + ww)[valid]
+    tile_of = np.broadcast_to(ib[:, None, None], (n, R, S))[valid]
+    np.maximum.at(owner.reshape(-1), flat, tile_of)
+    return owner
