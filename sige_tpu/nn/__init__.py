@@ -1,1 +1,35 @@
-"""SIGE neural-net layer (flax.linen modules + planning)."""
+"""SIGE neural-net layer: flax.linen engine modules, norm folding,
+host-side planning, and the stateful model wrapper."""
+
+from .engine import SIGEModel
+from .module import (
+    FULL,
+    SPARSE,
+    Gather,
+    Scatter,
+    ScatterGather,
+    ScatterWithBlockResidual,
+    SIGEConv2d,
+    SIGECtx,
+    SIGEModule,
+)
+from .norm import batch_norm_affine, group_norm_with_affine, instance_norm_with_affine
+from .planner import build_plan, plan_stats
+
+__all__ = [
+    "SIGEModel",
+    "SIGECtx",
+    "SIGEModule",
+    "FULL",
+    "SPARSE",
+    "Gather",
+    "Scatter",
+    "ScatterGather",
+    "ScatterWithBlockResidual",
+    "SIGEConv2d",
+    "build_plan",
+    "plan_stats",
+    "group_norm_with_affine",
+    "instance_norm_with_affine",
+    "batch_norm_affine",
+]

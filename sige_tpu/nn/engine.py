@@ -1,0 +1,117 @@
+"""Stateful convenience wrapper around a SIGE-wired flax module.
+
+Mirrors the reference's whole-model API — ``set_mode`` is implicit in
+which method you call, plus ``set_masks`` / ``clear_cache`` /
+``sparse_update`` (reference: sige/nn/base.py:95-129) — while keeping the
+hot path purely functional: :meth:`full` and :meth:`sparse` are jitted
+closures over ``module.apply``; samplers that want a fully-fused scan
+can use the module + collections directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .module import SIGECtx
+from .planner import build_plan, plan_stats
+
+
+class SIGEModel:
+    """Holds {params, cache, sige} collections and compiled apply fns.
+
+    Typical flow (reference: example.py):
+        model = SIGEModel(module, params)
+        y0 = model.full(x_original)          # refresh caches, record meta
+        model.set_masks(mask_pyramid)        # host planning
+        y1 = model.sparse(x_edited)          # sparse tile inference
+    """
+
+    def __init__(self, module, params: Optional[Mapping] = None,
+                 bucket_min: int = 8):
+        self.module = module
+        self.params = params
+        self.cache: Dict = {}
+        self.meta: Optional[Mapping] = None
+        self.plan: Dict = {}
+        self.bucket_min = bucket_min
+        self.capacities: Dict = {}
+
+        def full_apply(params, cache, cache_id, args, kwargs):
+            variables = {"params": params, "cache": cache}
+            ctx = SIGECtx(mode="full", cache_id=cache_id)
+            return module.apply(
+                variables, *args, ctx=ctx, mutable=["cache", "meta"], **kwargs
+            )
+
+        def sparse_apply(params, cache, plan, cache_id, args, kwargs):
+            variables = {"params": params, "cache": cache, "sige": plan}
+            ctx = SIGECtx(mode="sparse", cache_id=cache_id)
+            return module.apply(variables, *args, ctx=ctx, **kwargs)
+
+        def sparse_update_apply(params, cache, plan, cache_id, args, kwargs):
+            variables = {"params": params, "cache": cache, "sige": plan}
+            ctx = SIGECtx(mode="sparse", sparse_update=True, cache_id=cache_id)
+            return module.apply(
+                variables, *args, ctx=ctx, mutable=["cache"], **kwargs
+            )
+
+        self._full = jax.jit(full_apply)
+        self._sparse = jax.jit(sparse_apply)
+        self._sparse_update = jax.jit(sparse_update_apply)
+
+    def init(self, key, *args, **kwargs):
+        """Initialize parameters by tracing a full-mode pass."""
+        variables = self.module.init(
+            key, *args, ctx=SIGECtx(mode="full"), **kwargs
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def full(self, *args, cache_id: int = 0, **kwargs):
+        """Dense pass on the original input: refreshes every scatter cache
+        and the planning metadata."""
+        y, mut = self._full(
+            self.params, self.cache, jnp.int32(cache_id), args, kwargs
+        )
+        self.cache = mut["cache"]
+        self.meta = mut["meta"]
+        return y
+
+    def set_masks(self, masks: Mapping, capacities: Optional[Dict] = None):
+        """Host-side planning: mask pyramid -> indices/owner maps."""
+        if self.meta is None:
+            raise RuntimeError("run a full() pass before set_masks()")
+        meta_host = jax.tree.map(np.asarray, self.meta)
+        self.plan = build_plan(
+            meta_host, masks, self.bucket_min, capacities or self.capacities
+        )
+        return self.plan
+
+    def sparse(self, *args, cache_id: int = 0, sparse_update: bool = False,
+               **kwargs):
+        """Sparse tile inference on the edited input."""
+        if not self.plan:
+            raise RuntimeError("call set_masks() before sparse()")
+        if sparse_update:
+            y, mut = self._sparse_update(
+                self.params, self.cache, self.plan, jnp.int32(cache_id),
+                args, kwargs,
+            )
+            self.cache = mut["cache"]
+            return y
+        return self._sparse(
+            self.params, self.cache, self.plan, jnp.int32(cache_id), args, kwargs
+        )
+
+    def clear_cache(self):
+        self.cache = {}
+
+    def stats(self) -> Dict[str, Any]:
+        """Per-gather sparsity statistics for the current plan."""
+        if self.meta is None or not self.plan:
+            return {}
+        return plan_stats(jax.tree.map(np.asarray, self.meta), self.plan)

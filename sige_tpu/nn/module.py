@@ -1,0 +1,278 @@
+"""The SIGE module protocol as flax.linen layers.
+
+The reference implements its engine as stateful torch modules with a
+broadcast mode switch and hidden per-module caches
+(reference: sige/nn/base.py, gather.py, scatter.py, scatter_gather.py).
+Here the same protocol is functional:
+
+  * **mode** ("full" | "sparse") is a static field of :class:`SIGECtx`
+    threaded through ``__call__`` — two jitted programs, no flags at
+    runtime;
+  * **caches** (the full-mode activations of the original image) live in
+    the mutable ``"cache"`` variable collection, with a static number of
+    slots indexed by the traced ``ctx.cache_id`` (the reference's
+    per-cache-id dicts; reference: sige/nn/scatter.py:40);
+  * **planning products** (active tile indices, live counts, ownership
+    maps) live in the ``"sige"`` collection, produced host-side by
+    :mod:`sige_tpu.nn.planner` from the ``"meta"`` collection the full
+    pass records;
+  * **pairing** (a Scatter must use its Gather's indices) is expressed by
+    module sharing: the Gather instance is passed to the Scatter as an
+    attribute, exactly mirroring the reference's constructor wiring
+    (reference: sige/nn/scatter.py:10-12), and the Scatter reads the
+    gather's variables through the shared reference.
+
+``sparse_update`` (static field) makes sparse-mode scatters write their
+result back into the cache so an applied edit becomes the new baseline
+without a full pass (reference: sige/nn/scatter.py:59-60).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple, Union
+
+import flax.linen as nn
+import flax.struct
+import jax.numpy as jnp
+
+from ..core.geometry import BlockGeometry
+from ..ops import (
+    conv2d_nhwc,
+    gather_tiles,
+    scatter_gather_tiles,
+    scatter_tiles,
+    scatter_with_block_residual,
+)
+from ..ops.scatter import calibrate_residual  # noqa: F401  (re-export convenience)
+
+IntPair = Tuple[int, int]
+
+
+@flax.struct.dataclass
+class SIGECtx:
+    """Per-call engine context. ``mode`` and ``sparse_update`` are static
+    (pytree aux data — switching retraces); ``cache_id`` is traced so the
+    demo's per-step cache slots don't recompile."""
+
+    mode: str = flax.struct.field(pytree_node=False, default="full")
+    sparse_update: bool = flax.struct.field(pytree_node=False, default=False)
+    cache_id: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.int32(0))
+
+
+FULL = SIGECtx(mode="full")
+SPARSE = SIGECtx(mode="sparse")
+
+
+def _pair(v) -> IntPair:
+    if isinstance(v, int):
+        return (v, v)
+    return (int(v[0]), int(v[1]))
+
+
+class SIGEModule(nn.Module):
+    """Marker base for engine layers (mode-aware)."""
+
+
+class Gather(SIGEModule):
+    """Records geometry/resolution in full mode; extracts the active tile
+    batch (with optional fused norm epilogue) in sparse mode
+    (reference: sige/nn/gather.py).
+
+    Also the anchor for planning products: the planner writes
+    ``indices``/``count`` and per-resolution ``owner_{h}x{w}`` maps into
+    this module's ``"sige"`` collection; paired scatters read them through
+    the shared module reference.
+    """
+
+    block_size: Union[int, IntPair] = 6
+    kernel_size: Union[int, IntPair] = 3
+    conv_stride: Union[int, IntPair] = 1
+    conv_padding: Union[int, IntPair] = 0
+    offset: Optional[Union[int, IntPair]] = None
+    activation: str = "identity"
+    activation_first: bool = False
+
+    @property
+    def geom(self) -> BlockGeometry:
+        return BlockGeometry.create(
+            self.block_size, self.kernel_size, self.conv_stride,
+            self.conv_padding, self.offset,
+        )
+
+    @nn.compact
+    def __call__(self, x, ctx: SIGECtx, scale=None, shift=None):
+        if ctx.mode == "full":
+            # Record planning metadata. Geometry is packed as an int array
+            # so the planner can rebuild it from the collection alone.
+            g = self.geom
+            self.sow("meta", "input_res", jnp.array(x.shape[1:3], jnp.int32))
+            self.sow("meta", "geom", jnp.array(
+                [*g.block_size, *g.block_stride, *g.offset,
+                 *g.kernel_size, *g.conv_stride], jnp.int32))
+            assert scale is None and shift is None, (
+                "full mode never fuses epilogues; apply the norm densely")
+            return x
+        if ctx.mode == "sparse":
+            idx = self.get_variable("sige", "indices")
+            count = self.get_variable("sige", "count")
+            return gather_tiles(
+                x, idx, count, self.geom, scale, shift,
+                self.activation, self.activation_first,
+            )
+        raise ValueError(f"unknown mode {ctx.mode}")
+
+    # --- services for paired scatters (called via module sharing) --------
+    def request_owner(self, res: IntPair):
+        self.sow("meta", "owner_res", jnp.array(res, jnp.int32))
+
+    def read_plan(self):
+        return (
+            self.get_variable("sige", "indices"),
+            self.get_variable("sige", "count"),
+        )
+
+    def read_owner(self, res: IntPair):
+        return self.get_variable("sige", f"owner_{res[0]}x{res[1]}")
+
+
+def _slotted_cache(mod: nn.Module, name: str, value: jnp.ndarray, slots: int,
+                   cache_id) -> jnp.ndarray:
+    """Write ``value`` into cache slot ``cache_id``; returns the variable's
+    full [slots, ...] array."""
+    v = mod.variable(
+        "cache", name,
+        lambda: jnp.zeros((slots, *value.shape), value.dtype),
+    )
+    v.value = v.value.at[cache_id].set(value)
+    return v.value
+
+
+class Scatter(SIGEModule):
+    """Caches full-mode output; scatters fresh tiles over the cache in
+    sparse mode (reference: sige/nn/scatter.py:9-63)."""
+
+    gather: Gather
+    cache_slots: int = 1
+
+    @nn.compact
+    def __call__(self, x, ctx: SIGECtx, residual=None):
+        if ctx.mode == "full":
+            out = x if residual is None else x + residual
+            self.gather.request_owner(out.shape[1:3])
+            _slotted_cache(self, "original", out, self.cache_slots, ctx.cache_id)
+            return out
+        if ctx.mode == "sparse":
+            cache = self.get_variable("cache", "original")
+            y = cache[ctx.cache_id]
+            idx, _ = self.gather.read_plan()
+            owner = self.gather.read_owner(y.shape[1:3])
+            out = scatter_tiles(x, y, owner, idx, self.gather.geom, residual)
+            if ctx.sparse_update and self.is_mutable_collection("cache"):
+                self.put_variable("cache", "original", cache.at[ctx.cache_id].set(out))
+            return out
+        raise ValueError(f"unknown mode {ctx.mode}")
+
+
+class ScatterGather(SIGEModule):
+    """Fused scatter->re-gather between the two convs of a resblock, with
+    the second norm folded into the epilogue
+    (reference: sige/nn/scatter_gather.py)."""
+
+    gather: Gather
+    activation: str = "identity"
+    activation_first: bool = False
+    cache_slots: int = 1
+
+    @nn.compact
+    def __call__(self, x, ctx: SIGECtx, scale=None, shift=None):
+        if ctx.mode == "full":
+            self.gather.request_owner(x.shape[1:3])
+            _slotted_cache(self, "original", x, self.cache_slots, ctx.cache_id)
+            return x
+        if ctx.mode == "sparse":
+            cache = self.get_variable("cache", "original")
+            y = cache[ctx.cache_id]
+            idx, count = self.gather.read_plan()
+            owner = self.gather.read_owner(y.shape[1:3])
+            geom = self.gather.geom
+            out = scatter_gather_tiles(
+                x, y, owner, idx, count, geom,
+                scale, shift, self.activation, self.activation_first,
+            )
+            if ctx.sparse_update and self.is_mutable_collection("cache"):
+                updated = scatter_tiles(x, y, owner, idx, geom)
+                self.put_variable("cache", "original", cache.at[ctx.cache_id].set(updated))
+            return out
+        raise ValueError(f"unknown mode {ctx.mode}")
+
+
+class ScatterWithBlockResidual(SIGEModule):
+    """Residual join for main/shortcut paths gathered with different block
+    sizes (reference: sige/nn/scatter.py:66-136)."""
+
+    main_gather: Gather
+    shortcut_gather: Gather
+    cache_slots: int = 1
+
+    @nn.compact
+    def __call__(self, x, ctx: SIGECtx, residual=None):
+        if ctx.mode == "full":
+            out = x + residual
+            self.main_gather.request_owner(out.shape[1:3])
+            self.shortcut_gather.request_owner(out.shape[1:3])
+            _slotted_cache(self, "original", out, self.cache_slots, ctx.cache_id)
+            _slotted_cache(self, "residual", residual, self.cache_slots, ctx.cache_id)
+            return out
+        if ctx.mode == "sparse":
+            caches = self.get_variable("cache", "original")
+            res_caches = self.get_variable("cache", "residual")
+            y0, y1 = caches[ctx.cache_id], res_caches[ctx.cache_id]
+            res = y0.shape[1:3]
+            m_idx, _ = self.main_gather.read_plan()
+            s_idx, _ = self.shortcut_gather.read_plan()
+            m_owner = self.main_gather.read_owner(res)
+            s_owner = self.shortcut_gather.read_owner(res)
+            out = scatter_with_block_residual(
+                x, y0, residual, y1,
+                m_owner, m_idx, self.main_gather.geom,
+                s_owner, s_idx, self.shortcut_gather.geom,
+            )
+            if ctx.sparse_update and self.is_mutable_collection("cache"):
+                self.put_variable("cache", "original", caches.at[ctx.cache_id].set(out))
+                new_res = scatter_tiles(
+                    residual, y1, s_owner, s_idx, self.shortcut_gather.geom)
+                self.put_variable("cache", "residual", res_caches.at[ctx.cache_id].set(new_res))
+            return out
+        raise ValueError(f"unknown mode {ctx.mode}")
+
+
+class SIGEConv2d(SIGEModule):
+    """Conv that pads normally in full mode and runs VALID on gathered
+    tiles in sparse mode (reference: sige/nn/base.py:80-92). Parameter
+    names/layout match ``flax.linen.Conv`` (kernel HWIO, bias) so weight
+    conversion is uniform."""
+
+    features: int
+    kernel_size: Union[int, IntPair] = 3
+    stride: Union[int, IntPair] = 1
+    padding: Union[int, IntPair] = 0
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, ctx: SIGECtx):
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, cin, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias else None
+        )
+        padding = self.padding if ctx.mode == "full" else 0
+        return conv2d_nhwc(
+            x, kernel, bias, stride=self.stride, padding=padding,
+            feature_group_count=self.feature_group_count,
+        )

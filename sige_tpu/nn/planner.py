@@ -1,0 +1,139 @@
+"""Host-side mask planning: meta collection + mask pyramid -> "sige"
+collection.
+
+The reference's ``SIGEModel.set_masks`` walks the module tree broadcasting
+masks, each Gather reducing its resolution's mask to active indices with a
+per-call memo cache (reference: sige/nn/base.py:102-108,
+sige/nn/gather.py:94-108). Functionally, the same walk happens over the
+``"meta"`` variable collection recorded by a full-mode pass: every Gather
+leaves its packed geometry, input resolution, and the output resolutions
+its paired scatters need ownership maps for. :func:`build_plan` mirrors
+that tree into a ``"sige"`` collection of device-ready planning arrays.
+
+All work here is numpy on host — it runs once per edit, off the hot loop.
+Capacities are bucketed (next power of two) and can be pinned via
+``capacities`` so repeated edits reuse compiled sparse programs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import BlockGeometry
+from ..core.masks import reduce_mask_padded
+from ..core.scatter_map import build_owner_map
+
+IntPair = Tuple[int, int]
+
+
+def _unpack_geom(arr) -> BlockGeometry:
+    v = [int(i) for i in np.asarray(arr).reshape(-1)]
+    return BlockGeometry(
+        block_size=(v[0], v[1]),
+        block_stride=(v[2], v[3]),
+        offset=(v[4], v[5]),
+        kernel_size=(v[6], v[7]),
+        conv_stride=(v[8], v[9]),
+    )
+
+
+def _first(sown):
+    """Sown values accumulate as tuples; planning metadata is identical
+    across records, so take the first."""
+    if isinstance(sown, tuple):
+        return sown[0]
+    return sown
+
+
+def _is_gather_record(node: Mapping) -> bool:
+    return isinstance(node, Mapping) and "geom" in node and "input_res" in node
+
+
+def build_plan(
+    meta: Mapping,
+    masks: Mapping[IntPair, np.ndarray],
+    bucket_min: int = 8,
+    capacities: Optional[Dict[Tuple, int]] = None,
+    _path: Tuple = (),
+    _memo: Optional[Dict] = None,
+) -> Dict:
+    """Build the "sige" variable collection from recorded metadata.
+
+    Args:
+      meta: the ``"meta"`` collection from a full-mode apply.
+      masks: per-resolution boolean mask pyramid keyed (h, w)
+        (from :func:`sige_tpu.core.masks.downsample_mask`).
+      bucket_min: smallest index-buffer capacity bucket.
+      capacities: optional {path: capacity} pinning buffer sizes (e.g. to
+        reuse a compiled program across edits of different sizes).
+
+    Returns a nested dict mirroring the module tree with, at each Gather:
+      ``indices`` [K, 2] int32, ``count`` int32 scalar, and one
+      ``owner_{h}x{w}`` int32 map per scatter output resolution.
+    """
+    if _memo is None:
+        _memo = {}
+    plan: Dict = {}
+    for name, node in meta.items():
+        if _is_gather_record(node):
+            path = _path + (name,)
+            geom = _unpack_geom(_first(node["geom"]))
+            res = tuple(int(i) for i in np.asarray(_first(node["input_res"])))
+            if res not in masks:
+                raise KeyError(
+                    f"no mask for resolution {res} at {'/'.join(path)}; "
+                    f"available: {sorted(masks.keys())}"
+                )
+            cap = (capacities or {}).get(path)
+            memo_key = ("idx", res, geom, cap)
+            if memo_key not in _memo:
+                _memo[memo_key] = reduce_mask_padded(
+                    masks[res], geom, capacity=cap, bucket_min=bucket_min
+                )
+            indices, count = _memo[memo_key]
+            entry = {
+                "indices": jnp.asarray(indices),
+                "count": jnp.int32(count),
+            }
+            owner_reses = set()
+            for arr in node.get("owner_res", ()):  # sown tuple
+                owner_reses.add(tuple(int(i) for i in np.asarray(arr)))
+            for ores in sorted(owner_reses):
+                okey = ("owner", res, geom, cap, ores)
+                if okey not in _memo:
+                    _memo[okey] = jnp.asarray(
+                        build_owner_map(indices, count, geom, ores)
+                    )
+                entry[f"owner_{ores[0]}x{ores[1]}"] = _memo[okey]
+            plan[name] = entry
+        elif isinstance(node, Mapping):
+            sub = build_plan(node, masks, bucket_min, capacities,
+                             _path + (name,), _memo)
+            if sub:
+                plan[name] = sub
+    return plan
+
+
+def plan_stats(meta: Mapping, plan: Mapping, _path: Tuple = ()) -> Dict[str, Dict]:
+    """Per-gather sparsity statistics for logging/profiling: live tiles,
+    buffer capacity, and input resolution (the reference prints block
+    sparsity per gather when verbose; reference: sige/utils.py:33-36)."""
+    stats: Dict[str, Dict] = {}
+    for name, node in meta.items():
+        if _is_gather_record(node):
+            p = plan[name]
+            res = tuple(int(i) for i in np.asarray(_first(node["input_res"])))
+            geom = _unpack_geom(_first(node["geom"]))
+            count = int(np.asarray(p["count"]))
+            stats["/".join(_path + (name,))] = {
+                "resolution": res,
+                "block_size": geom.block_size,
+                "tiles": count,
+                "capacity": int(p["indices"].shape[0]),
+            }
+        elif isinstance(node, Mapping):
+            stats.update(plan_stats(node, plan.get(name, {}), _path + (name,)))
+    return stats

@@ -1,12 +1,13 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Must set platform flags before jax initializes its backends. Real-TPU
-benchmarking happens via bench.py, not the test suite.
+In this image the axon TPU platform ignores ``JAX_PLATFORMS=cpu``, so we
+force the host platform device count and pin every test to the CPU backend
+via an autouse ``jax.default_device`` fixture. Real-TPU benchmarking
+happens via bench.py, not the test suite.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +20,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _on_cpu():
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
 
 
 @pytest.fixture
