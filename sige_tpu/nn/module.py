@@ -52,13 +52,23 @@ IntPair = Tuple[int, int]
 class SIGECtx:
     """Per-call engine context. ``mode`` and ``sparse_update`` are static
     (pytree aux data — switching retraces); ``cache_id`` is traced so the
-    demo's per-step cache slots don't recompile."""
+    demo's per-step cache slots don't recompile.
+
+    Modes:
+      * ``"dense"`` — plain inference, no caching (the baseline an
+        un-instrumented model would run; the reference keeps a separate
+        vanilla model class for this);
+      * ``"full"`` — dense inference that also refreshes scatter caches,
+        folded-norm affines, and planning metadata;
+      * ``"sparse"`` — tile inference over the caches.
+    """
 
     mode: str = flax.struct.field(pytree_node=False, default="full")
     sparse_update: bool = flax.struct.field(pytree_node=False, default=False)
     cache_id: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.int32(0))
 
 
+DENSE = SIGECtx(mode="dense")
 FULL = SIGECtx(mode="full")
 SPARSE = SIGECtx(mode="sparse")
 
@@ -67,6 +77,18 @@ def _pair(v) -> IntPair:
     if isinstance(v, int):
         return (v, v)
     return (int(v[0]), int(v[1]))
+
+
+def sow_macs(mod: nn.Module, n: int) -> None:
+    """Record analytic MACs into the mutable "profile" collection.
+
+    Replaces the reference's third inference mode + torchprofile tracing
+    (reference: sige/nn/gather.py:59-70 dummy tensors): shapes are static
+    under jit, so per-op MACs are exact compile-time constants; running any
+    mode with ``mutable=["profile"]`` yields the mode's MACs breakdown.
+    """
+    if mod.is_mutable_collection("profile"):
+        mod.sow("profile", "macs", jnp.float32(n))
 
 
 class SIGEModule(nn.Module):
@@ -101,6 +123,8 @@ class Gather(SIGEModule):
 
     @nn.compact
     def __call__(self, x, ctx: SIGECtx, scale=None, shift=None):
+        if ctx.mode == "dense":
+            return x
         if ctx.mode == "full":
             # Record planning metadata. Geometry is packed as an int array
             # so the planner can rebuild it from the collection alone.
@@ -156,6 +180,8 @@ class Scatter(SIGEModule):
 
     @nn.compact
     def __call__(self, x, ctx: SIGECtx, residual=None):
+        if ctx.mode == "dense":
+            return x if residual is None else x + residual
         if ctx.mode == "full":
             out = x if residual is None else x + residual
             self.gather.request_owner(out.shape[1:3])
@@ -185,6 +211,8 @@ class ScatterGather(SIGEModule):
 
     @nn.compact
     def __call__(self, x, ctx: SIGECtx, scale=None, shift=None):
+        if ctx.mode == "dense":
+            return x
         if ctx.mode == "full":
             self.gather.request_owner(x.shape[1:3])
             _slotted_cache(self, "original", x, self.cache_slots, ctx.cache_id)
@@ -216,6 +244,8 @@ class ScatterWithBlockResidual(SIGEModule):
 
     @nn.compact
     def __call__(self, x, ctx: SIGECtx, residual=None):
+        if ctx.mode == "dense":
+            return x + residual
         if ctx.mode == "full":
             out = x + residual
             self.main_gather.request_owner(out.shape[1:3])
@@ -250,14 +280,20 @@ class SIGEConv2d(SIGEModule):
     """Conv that pads normally in full mode and runs VALID on gathered
     tiles in sparse mode (reference: sige/nn/base.py:80-92). Parameter
     names/layout match ``flax.linen.Conv`` (kernel HWIO, bias) so weight
-    conversion is uniform."""
+    conversion is uniform.
+
+    ``tile_input=False`` marks a conv that always sees full maps (e.g. the
+    stem conv, or resblock convs at non-sparse levels — the reference uses
+    plain ``nn.Conv2d`` there) so it keeps its padding in sparse mode.
+    """
 
     features: int
     kernel_size: Union[int, IntPair] = 3
     stride: Union[int, IntPair] = 1
-    padding: Union[int, IntPair] = 0
+    padding: Any = 0
     use_bias: bool = True
     feature_group_count: int = 1
+    tile_input: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -271,8 +307,13 @@ class SIGEConv2d(SIGEModule):
             self.param("bias", nn.initializers.zeros_init(), (self.features,))
             if self.use_bias else None
         )
-        padding = self.padding if ctx.mode == "full" else 0
-        return conv2d_nhwc(
+        if ctx.mode in ("full", "dense") or not self.tile_input:
+            padding = self.padding
+        else:
+            padding = 0
+        out = conv2d_nhwc(
             x, kernel, bias, stride=self.stride, padding=padding,
             feature_group_count=self.feature_group_count,
         )
+        sow_macs(self, out.size * kh * kw * cin)
+        return out

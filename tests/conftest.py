@@ -17,15 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Model-level programs take minutes to XLA-optimize on CPU; tests only
+# check correctness on tiny shapes, so skip most optimization passes
+# (bench.py runs fully optimized on the TPU).
+jax.config.update("jax_disable_most_optimizations", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-
-@pytest.fixture(autouse=True)
-def _on_cpu():
-    with jax.default_device(jax.devices("cpu")[0]):
-        yield
+# Pin everything (including module-scoped fixtures) to the CPU backend.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
 @pytest.fixture

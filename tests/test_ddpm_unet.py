@@ -1,0 +1,126 @@
+"""DDPM SIGE U-Net tests on a tiny config.
+
+Key invariants:
+  * dense mode == full mode outputs (caching must not change math);
+  * sparse on the *original* input reproduces full exactly (1e-4) for any
+    mask — every cache, folded affine, and scatter must line up;
+  * sparse on a small edit tracks the dense forward of the edited input
+    closely (the folded norms use original-image statistics, so this is
+    approximate by design — the reference has the same property).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sige_tpu.core.masks import compute_difference_mask, dilate_mask, downsample_mask
+from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+from sige_tpu.nn import SIGEModel
+from sige_tpu.nn.module import SIGECtx
+
+TINY = DDPMUNetConfig(
+    ch=32,
+    ch_mult=(1, 2),
+    num_res_blocks=1,
+    attn_resolutions=(16,),
+    resolution=32,
+    sparse_resolution_threshold=32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    mask = np.zeros((32, 32), bool)
+    mask[8:16, 10:20] = True
+    noise = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    x1 = x0 + jnp.asarray(noise * mask[None, :, :, None] * 0.5)
+    t = jnp.array([17], jnp.int32)
+
+    net = SIGEFusedUNet(cfg=cfg)
+    model = SIGEModel(net)
+    model.init(jax.random.key(0), x0, t)
+    return cfg, model, x0, x1, t, mask
+
+
+def test_dense_equals_full(setup):
+    cfg, model, x0, x1, t, mask = setup
+    y_full = model.full(x0, t)
+    y_dense = model.module.apply(
+        {"params": model.params}, x0, t, ctx=SIGECtx(mode="dense"))
+    np.testing.assert_allclose(
+        np.asarray(y_dense), np.asarray(y_full), atol=1e-5)
+
+
+def test_sparse_on_original_is_exact(setup):
+    cfg, model, x0, x1, t, mask = setup
+    y_full = model.full(x0, t)
+    masks = downsample_mask(dilate_mask(mask, 2), min_res=4)
+    model.set_masks(masks)
+    y_sparse = model.sparse(x0, t)
+    np.testing.assert_allclose(
+        np.asarray(y_sparse), np.asarray(y_full), atol=1e-4)
+    assert len(model.stats()) > 0
+
+
+def test_sparse_on_edit_tracks_dense(setup):
+    cfg, model, x0, x1, t, mask = setup
+    y_edit_dense = model.full(x1, t)   # dense reference on edited input
+    _ = model.full(x0, t)              # restore original caches
+    dmask = compute_difference_mask(np.asarray(x0), np.asarray(x1))
+    masks = downsample_mask(dilate_mask(dmask, 5), min_res=4)
+    model.set_masks(masks)
+    y_sparse = model.sparse(x1, t)
+    err = np.abs(np.asarray(y_sparse) - np.asarray(y_edit_dense))
+    # Approximate by design (original-image norm statistics): demand close
+    # agreement but not bit parity.
+    assert err.max() < 0.15, err.max()
+    assert np.percentile(err, 99) < 0.1
+
+
+def test_full_edit_mask_is_exact(setup):
+    """With everything masked active, sparse == dense-on-edited to 1e-4
+    *except* for norm statistics drift; with original == edited there is
+    no drift, covered above. Here: full mask + original input, multiple
+    cache ids."""
+    cfg, model, x0, x1, t, mask = setup
+    y_full = model.full(x0, t)
+    masks = downsample_mask(np.ones((32, 32), bool), min_res=4)
+    model.set_masks(masks)
+    y_sparse = model.sparse(x0, t)
+    np.testing.assert_allclose(
+        np.asarray(y_sparse), np.asarray(y_full), atol=1e-4)
+
+
+def test_profile_macs(setup):
+    """Analytic MACs accounting: sparse mode must report far fewer MACs
+    than dense for a small edit (the reference's profile mode;
+    reference: diffusion/runner.py:214-246)."""
+    cfg, model, x0, x1, t, mask = setup
+    _ = model.full(x0, t)
+    small = np.zeros((32, 32), bool)
+    small[8:12, 10:14] = True
+    masks = downsample_mask(small, min_res=4)
+    model.set_masks(masks)
+
+    def macs_of(mode):
+        ctx = SIGECtx(mode=mode)
+        variables = {"params": model.params, "cache": model.cache,
+                     "sige": model.plan}
+        _, mut = model.module.apply(
+            variables, x0, t, ctx=ctx, mutable=["profile", "cache", "meta"])
+        total = 0.0
+        for leaf in jax.tree.leaves(mut["profile"]):
+            total += float(np.sum(np.asarray(leaf)))
+        return total
+
+    dense_macs = macs_of("dense")
+    sparse_macs = macs_of("sparse")
+    assert dense_macs > 0
+    # At this toy 32x32 resolution sparsity is weak (tiles are almost the
+    # whole image); the full-scale reduction is asserted by the bench. Here
+    # we only check the accounting mechanism orders correctly.
+    assert sparse_macs < 0.8 * dense_macs, (dense_macs, sparse_macs)
