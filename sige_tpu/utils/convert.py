@@ -1,0 +1,173 @@
+"""Checkpoint conversion: reference torch state dicts -> flax params.
+
+The reference ships torch checkpoints (``church256-ddpm-fused_unet.pth``
+etc.; reference: diffusion/download_helper.py:8-20) in NCHW/OIHW layout
+with the FusedUNet naming scheme (reference:
+diffusion/models/ddpm_arch/fused_unet.py). This module maps them onto the
+NHWC/HWIO flax tree of :class:`sige_tpu.models.ddpm.SIGEFusedUNet`.
+
+Layout rules:
+  * conv weight  [O, I, kh, kw]  ->  kernel [kh, kw, I, O]
+  * linear weight [O, I]         ->  kernel [I, O]
+  * norms: weight/bias -> scale/bias
+
+Also provides md5-verified checkpoint loading (the reference re-downloads
+on checksum mismatch; reference: diffusion/download_helper.py:28-47 — we
+only verify, no network egress here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+try:  # torch is available (CPU) in this environment; used only for .pth IO
+    import torch
+except ImportError:  # pragma: no cover
+    torch = None
+
+
+def md5_file(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def load_torch_state_dict(path: str, md5: str | None = None) -> Dict[str, np.ndarray]:
+    if torch is None:
+        raise RuntimeError("torch unavailable; cannot read .pth checkpoints")
+    if md5 is not None:
+        got = md5_file(path)
+        if got != md5:
+            raise ValueError(f"checkpoint md5 mismatch: {got} != {md5}")
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))  # OI -> IO
+
+
+def convert_ddpm_fused_unet(
+    sd: Mapping[str, np.ndarray],
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attn_resolutions: Tuple[int, ...] = (16,),
+    resolution: int = 256,
+) -> Dict:
+    """Map a reference FusedUNet/SIGEFusedUNet state dict onto our param
+    tree (nested dict ready for ``flax.traverse_util.unflatten_dict``
+    consumers).
+
+    The reference's fused temb projection (``temb.dense.2``) maps directly
+    onto our fused ``temb_proj`` — slice order (down, mid, up traversal)
+    matches (reference: fused_unet.py:262-295).
+    """
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path: str, arr: np.ndarray):
+        flat[tuple(path.split("/"))] = arr
+
+    def conv_pair(src: str, dst: str):
+        put(f"{dst}/kernel", _conv(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def norm_pair(src: str, dst: str):
+        put(f"{dst}/scale", sd[f"{src}.weight"])
+        put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def linear_pair(src: str, dst: str):
+        put(f"{dst}/kernel", _linear(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def resblock(src: str, dst: str):
+        norm_pair(f"{src}.norm1", f"{dst}/norm1")
+        conv_pair(f"{src}.conv1", f"{dst}/conv1")
+        norm_pair(f"{src}.norm2", f"{dst}/norm2")
+        conv_pair(f"{src}.conv2", f"{dst}/conv2")
+        if f"{src}.nin_shortcut.weight" in sd:
+            conv_pair(f"{src}.nin_shortcut", f"{dst}/nin_shortcut")
+        if f"{src}.conv_shortcut.weight" in sd:
+            conv_pair(f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+
+    def attnblock(src: str, dst: str):
+        norm_pair(f"{src}.norm", f"{dst}/norm")
+        conv_pair(f"{src}.qkv", f"{dst}/qkv")
+        conv_pair(f"{src}.proj_out", f"{dst}/proj_out")
+
+    linear_pair("temb.dense.0", "temb_dense0")
+    linear_pair("temb.dense.1", "temb_dense1")
+    linear_pair("temb.dense.2", "temb_proj")
+    conv_pair("conv_in", "conv_in")
+
+    nres = len(ch_mult)
+    curr_res = resolution
+    for i in range(nres):
+        for b in range(num_res_blocks):
+            resblock(f"down.{i}.block.{b}", f"down_blocks_{i}_{b}")
+            if curr_res in attn_resolutions:
+                attnblock(f"down.{i}.attn.{b}", f"down_attns_{i}_{b}")
+        if i != nres - 1:
+            # vanilla Downsample keeps conv at .downsample.conv; the SIGE
+            # variant too — both map to our downsamples_{i}/conv
+            key = f"down.{i}.downsample.conv"
+            conv_pair(key, f"downsamples_{i}/conv")
+            curr_res //= 2
+
+    resblock("mid.block_1", "mid_block1")
+    attnblock("mid.attn_1", "mid_attn")
+    resblock("mid.block_2", "mid_block2")
+
+    for i in reversed(range(nres)):
+        for b in range(num_res_blocks + 1):
+            resblock(f"up.{i}.block.{b}", f"up_blocks_{i}_{b}")
+            if curr_res in attn_resolutions:
+                attnblock(f"up.{i}.attn.{b}", f"up_attns_{i}_{b}")
+        if i != 0:
+            conv_pair(f"up.{i}.upsample.conv", f"upsamples_{i - 1}/conv")
+            curr_res *= 2
+
+    put("norm_out_scale", sd["norm_out.weight"])
+    put("norm_out_bias", sd["norm_out.bias"])
+    conv_pair("conv_out", "conv_out")
+
+    import flax
+
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+def assert_params_match(converted: Mapping, target: Mapping) -> None:
+    """Verify the converted tree has exactly the target tree's structure
+    and shapes (catches naming drift early)."""
+    import flax
+
+    a = flax.traverse_util.flatten_dict(dict(converted))
+    b = flax.traverse_util.flatten_dict(dict(target))
+    missing = set(b) - set(a)
+    extra = set(a) - set(b)
+    if missing or extra:
+        raise ValueError(
+            f"param mismatch: missing={sorted('/'.join(k) for k in missing)[:8]} "
+            f"extra={sorted('/'.join(k) for k in extra)[:8]}"
+        )
+    for k in b:
+        if tuple(np.shape(a[k])) != tuple(np.shape(b[k])):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(k)}: "
+                f"{np.shape(a[k])} vs {np.shape(b[k])}"
+            )
