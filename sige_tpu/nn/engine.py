@@ -64,10 +64,16 @@ class SIGEModel:
         self._sparse_update = jax.jit(sparse_update_apply)
 
     def init(self, key, *args, **kwargs):
-        """Initialize parameters by tracing a full-mode pass."""
-        variables = self.module.init(
-            key, *args, ctx=SIGECtx(mode="full"), **kwargs
+        """Initialize parameters by tracing a full-mode pass.
+
+        jitted: eager init executes thousands of tiny ops, which is
+        pathological on remote-dispatch backends (the axon TPU tunnel)."""
+        init_fn = jax.jit(
+            lambda k, a, kw: self.module.init(
+                k, *a, ctx=SIGECtx(mode="full"), **kw
+            )
         )
+        variables = init_fn(key, args, kwargs)
         self.params = variables["params"]
         return self.params
 

@@ -70,11 +70,11 @@ class DiffusionRunner:
 
     def __init__(self, model_cfg: DDPMUNetConfig = DDPMUNetConfig(),
                  run_cfg: DiffusionRunConfig = DiffusionRunConfig(),
-                 params=None, seed: int = 0):
+                 params=None, seed: int = 0, bucket_min: int = 8):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = SIGEFusedUNet(cfg=model_cfg)
-        self.model = SIGEModel(self.module, params)
+        self.model = SIGEModel(self.module, params, bucket_min=bucket_min)
         if params is None:
             dummy = jnp.zeros(
                 (1, model_cfg.resolution, model_cfg.resolution, model_cfg.in_ch),
@@ -176,8 +176,8 @@ class DiffusionRunner:
         y.block_until_ready()
         latency_ms = (time.perf_counter() - start) / iters * 1e3
 
-        _, mut = self.module.apply(
-            variables, x1, t0, ctx=ctx, mutable=["profile", "cache", "meta"])
+        _, mut = jax.jit(lambda v, x: self.module.apply(
+            v, x, t0, ctx=ctx, mutable=["profile", "cache", "meta"]))(variables, x1)
         macs = float(sum(np.sum(np.asarray(l)) for l in jax.tree.leaves(mut["profile"])))
         return {
             "latency_ms": latency_ms,
