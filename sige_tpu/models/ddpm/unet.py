@@ -107,18 +107,33 @@ class _FoldedGroupNorm(nn.Module):
     cache_slots: int = 1
 
     @nn.compact
-    def __call__(self, x, ctx: SIGECtx, extra_shift=None):
-        """In dense/full mode: normalize x (and in full mode cache the
-        affine, with ``extra_shift`` — e.g. a temb — absorbed into the
-        stored shift). In sparse mode: return the cached (scale, shift)
-        instead of touching x."""
+    def __call__(self, x, ctx: SIGECtx, pre_shift=None, post_scale=None,
+                 post_shift=None):
+        """In dense/full mode: normalize x (returning it *without* the
+        post terms applied) and, in full mode, cache the composed affine:
+
+          * ``pre_shift`` — a [B, C] offset already added to the *input*
+            (DDPM's additive temb): shift += pre_shift * scale
+            (reference: sige_fused_unet.py:87-89);
+          * ``post_scale`` / ``post_shift`` — [B, C] terms the caller
+            applies *after* the norm (PD's ``h*(1+s)+b``): scale, shift
+            scale by post_scale, then shift += post_shift
+            (reference: pd_arch/sige_unet.py:113-120).
+
+        In sparse mode: return the cached (scale, shift) for the gather
+        epilogues instead of touching x."""
         w = self.param("scale", nn.initializers.ones_init(), (self.channels,))
         b = self.param("bias", nn.initializers.zeros_init(), (self.channels,))
         if ctx.mode in ("dense", "full"):
             xn, scale, shift = group_norm_with_affine(x, self.num_groups, w, b, eps=1e-6)
             if ctx.mode == "full":
-                if extra_shift is not None:
-                    shift = extra_shift * scale + shift
+                if pre_shift is not None:
+                    shift = pre_shift * scale + shift
+                if post_scale is not None:
+                    scale = post_scale * scale
+                    shift = post_scale * shift
+                if post_shift is not None:
+                    shift = shift + post_shift
                 _slotted_cache(self, "scale", scale, self.cache_slots, ctx.cache_id)
                 _slotted_cache(self, "shift", shift, self.cache_slots, ctx.cache_id)
             return xn, None, None
@@ -195,7 +210,7 @@ class SIGEResnetBlock(SIGEModule):
             if self.main_sparse:
                 h = self.sg(h, ctx)  # caches conv1 output (pre-temb)
             h = h + temb[:, None, None, :]
-            h, _, _ = self.norm2(h, ctx, extra_shift=temb)
+            h, _, _ = self.norm2(h, ctx, pre_shift=temb)
             h = _swish(h)
             h = self.conv2(h, ctx)
         else:  # sparse

@@ -1,0 +1,376 @@
+"""Progressive Distillation U-Net with SIGE sparse wiring.
+
+Architectural differences from the DDPM U-Net (reference:
+diffusion/models/pd_arch/{unet,sige_unet}.py):
+  * resampling happens *inside* resblocks (avg-pool down / nearest up on
+    both the main and shortcut paths) instead of standalone layers;
+  * temb conditioning is scale-shift: ``h = h * (1 + s) + b`` after norm2,
+    folded as scale2 = (1 + s) * scale, shift2 = (1 + s) * shift + b
+    (reference: sige_unet.py:113-120);
+  * per-block temb projections (unfused — the pd checkpoints store them
+    per block), temb from a logsnr embedding;
+  * multi-head attention (head_dim 64) — never sparse in the shipped
+    configs (attn at 8/16/32 < threshold 64) but wired for it;
+  * resample blocks gather *after* resampling with an identity epilogue
+    (the norm1 swish can't fuse across the resample;
+    reference: sige_unet.py:144-152).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...nn.module import (
+    Gather,
+    Scatter,
+    ScatterGather,
+    ScatterWithBlockResidual,
+    SIGEConv2d,
+    SIGECtx,
+    SIGEModule,
+    sow_macs,
+)
+from ...nn.norm import group_norm_with_affine
+from ..ddpm.unet import _FoldedGroupNorm, _swish, timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class PDUNetConfig:
+    """church pd256 defaults (reference: diffusion/configs/church_pd256-sige.yml)."""
+
+    ch: int = 64
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 4, 6, 8)
+    num_res_blocks: int = 3
+    attn_resolutions: Tuple[int, ...] = (8, 16, 32)
+    in_ch: int = 3
+    out_ch: int = 6
+    resolution: int = 256
+    temb_ch: int = 768
+    head_dim: Optional[int] = 64
+    num_heads: Optional[int] = None
+    num_groups: int = 32
+    logsnr_input_type: str = "inv_cos"
+    block_size_normal: Optional[int] = 6
+    block_size_instance: Optional[int] = 4
+    sparse_resolution_threshold: int = 64
+    cache_slots: int = 1
+
+
+def avg_pool2(x):
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+
+
+def up2x(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class SIGEPDResnetBlock(SIGEModule):
+    """Reference: diffusion/models/pd_arch/sige_unet.py:12-175."""
+
+    cfg: PDUNetConfig
+    in_channels: int
+    out_channels: int
+    resample: Optional[str] = None  # None | "down" | "up"
+    support_sparse: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        cin, cout = self.in_channels, self.out_channels
+        self.main_sparse = self.support_sparse and cfg.block_size_normal is not None
+        self.shortcut_sparse = (
+            self.main_sparse and cin != cout and cfg.block_size_instance is not None
+        )
+        self.norm1 = _FoldedGroupNorm(cin, cfg.num_groups, cfg.cache_slots)
+        self.conv1 = SIGEConv2d(features=cout, kernel_size=3, padding=1,
+                                tile_input=self.main_sparse)
+        self.temb_proj = nn.Dense(2 * cout)
+        self.norm2 = _FoldedGroupNorm(cout, cfg.num_groups, cfg.cache_slots)
+        self.conv2 = SIGEConv2d(features=cout, kernel_size=3, padding=1,
+                                tile_input=self.main_sparse)
+        if self.main_sparse:
+            self.main_gather = Gather(
+                block_size=cfg.block_size_normal, kernel_size=3, conv_stride=1,
+                conv_padding=1,
+                activation="swish" if self.resample is None else "identity")
+            self.sg = ScatterGather(gather=self.main_gather, activation="swish",
+                                    cache_slots=cfg.cache_slots)
+        if cin != cout:
+            self.nin_shortcut = SIGEConv2d(features=cout, kernel_size=1,
+                                           padding=0,
+                                           tile_input=self.shortcut_sparse)
+            if self.shortcut_sparse:
+                self.shortcut_gather = Gather(
+                    block_size=cfg.block_size_instance, kernel_size=1,
+                    conv_stride=1, conv_padding=0)
+                self.join = ScatterWithBlockResidual(
+                    main_gather=self.main_gather,
+                    shortcut_gather=self.shortcut_gather,
+                    cache_slots=cfg.cache_slots)
+            elif self.main_sparse:
+                self.join = Scatter(gather=self.main_gather,
+                                    cache_slots=cfg.cache_slots)
+        elif self.main_sparse:
+            self.join = Scatter(gather=self.main_gather,
+                                cache_slots=cfg.cache_slots)
+
+    def _resample(self, x):
+        if self.resample == "down":
+            return avg_pool2(x)
+        if self.resample == "up":
+            return up2x(x)
+        return x
+
+    def __call__(self, x, temb, ctx: SIGECtx):
+        h, xs = x, self._resample(x)
+        if self.in_channels != self.out_channels:
+            if self.shortcut_sparse:
+                xs = self.shortcut_gather(xs, ctx)  # raw tiles, no norm fold
+            xs = self.nin_shortcut(xs, ctx)
+
+        if ctx.mode in ("dense", "full"):
+            emb = self.temb_proj(_swish(temb))
+            emb_scale, emb_shift = jnp.split(emb, 2, axis=-1)  # [B, cout] each
+            h, _, _ = self.norm1(h, ctx)
+            h = _swish(h)
+            h = self._resample(h)
+            if self.main_sparse:
+                h = self.main_gather(h, ctx)
+            h = self.conv1(h, ctx)
+            if self.main_sparse:
+                h = self.sg(h, ctx)  # caches conv1 output
+            # scale-shift temb conditioning folded into norm2's affine
+            h, _, _ = self.norm2(
+                h, ctx, post_scale=1.0 + emb_scale, post_shift=emb_shift)
+            h = h * (1.0 + emb_scale[:, None, None, :]) + emb_shift[:, None, None, :]
+            h = _swish(h)
+            h = self.conv2(h, ctx)
+        else:  # sparse
+            _, s1, b1 = self.norm1(h, ctx)
+            if self.main_sparse and self.resample is None:
+                h = self.main_gather(h, ctx, scale=s1, shift=b1)  # swish fused
+            else:
+                h = _swish(h * s1[:, None, None, :] + b1[:, None, None, :])
+                h = self._resample(h)
+                if self.main_sparse:
+                    h = self.main_gather(h, ctx)
+            h = self.conv1(h, ctx)
+            _, s2, b2 = self.norm2(h, ctx)
+            if self.main_sparse:
+                h = self.sg(h, ctx, scale=s2, shift=b2)  # swish fused
+            else:
+                h = _swish(h * s2[:, None, None, :] + b2[:, None, None, :])
+            h = self.conv2(h, ctx)
+
+        if self.main_sparse:
+            return self.join(h, ctx, residual=xs)
+        return h + xs
+
+
+class SIGEPDAttnBlock(SIGEModule):
+    """Multi-head global attention (reference: sige_unet.py:177-266)."""
+
+    cfg: PDUNetConfig
+    channels: int
+    support_sparse: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        if cfg.head_dim is not None:
+            assert cfg.num_heads is None
+            self.num_heads = self.channels // cfg.head_dim
+            self.head_dim = cfg.head_dim
+        else:
+            self.num_heads = cfg.num_heads
+            self.head_dim = self.channels // cfg.num_heads
+        self.sparse_ok = self.support_sparse and cfg.block_size_instance is not None
+        self.norm = _FoldedGroupNorm(self.channels, cfg.num_groups, cfg.cache_slots)
+        self.qkv = SIGEConv2d(features=3 * self.num_heads * self.head_dim,
+                              kernel_size=1, padding=0, tile_input=self.sparse_ok)
+        self.proj_out = SIGEConv2d(features=self.channels, kernel_size=1,
+                                   padding=0, tile_input=self.sparse_ok)
+        if self.sparse_ok:
+            bs = cfg.block_size_instance
+            self.gather1 = Gather(block_size=bs, kernel_size=1, conv_stride=1, conv_padding=0)
+            self.scatter1 = Scatter(gather=self.gather1, cache_slots=cfg.cache_slots)
+            self.gather2 = Gather(block_size=bs, kernel_size=1, conv_stride=1, conv_padding=0)
+            self.scatter2 = Scatter(gather=self.gather2, cache_slots=cfg.cache_slots)
+
+    def _attend(self, qkv):
+        B, H, W, _ = qkv.shape
+        nh, hd = self.num_heads, self.head_dim
+        q, k, v = jnp.split(qkv.reshape(B, H * W, 3 * nh * hd), 3, axis=-1)
+        q = q.reshape(B, H * W, nh, hd)
+        k = k.reshape(B, H * W, nh, hd)
+        v = v.reshape(B, H * W, nh, hd)
+        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * (hd ** -0.5)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhc->bqhc", w, v)
+        sow_macs(self, 2 * B * H * W * H * W * nh * hd)
+        return out.reshape(B, H, W, nh * hd)
+
+    def __call__(self, x, ctx: SIGECtx):
+        if ctx.mode in ("dense", "full"):
+            h = self.gather1(x, ctx) if self.sparse_ok else x
+            h, _, _ = self.norm(h, ctx)
+            qkv = self.qkv(h, ctx)
+            if self.sparse_ok:
+                qkv = self.scatter1(qkv, ctx)
+            h = self._attend(qkv)
+            if self.sparse_ok:
+                h = self.gather2(h, ctx)
+            h = self.proj_out(h, ctx)
+            return self.scatter2(h, ctx, residual=x) if self.sparse_ok else h + x
+        _, s, b = self.norm(x, ctx)
+        if self.sparse_ok:
+            h = self.gather1(x, ctx, scale=s, shift=b)
+        else:
+            h = x * s[:, None, None, :] + b[:, None, None, :]
+        qkv = self.qkv(h, ctx)
+        if self.sparse_ok:
+            qkv = self.scatter1(qkv, ctx)
+        h = self._attend(qkv)
+        if self.sparse_ok:
+            h = self.gather2(h, ctx)
+        h = self.proj_out(h, ctx)
+        return self.scatter2(h, ctx, residual=x) if self.sparse_ok else h + x
+
+
+class SIGEPDUNet(SIGEModule):
+    """Reference: sige_unet.py:269-474. ``__call__(x, logsnr, ctx)``."""
+
+    cfg: PDUNetConfig = PDUNetConfig()
+
+    def setup(self):
+        cfg = self.cfg
+        nres = len(cfg.ch_mult)
+        self.temb_dense0 = nn.Dense(cfg.temb_ch)
+        self.temb_dense1 = nn.Dense(cfg.temb_ch)
+        self.conv_in = SIGEConv2d(features=cfg.ch, kernel_size=3, padding=1,
+                                  tile_input=False)
+
+        in_mult = (1,) + tuple(cfg.ch_mult)
+        down_blocks, down_attns, downsamples = [], [], []
+        curr_res = cfg.resolution
+        block_in = None
+        for i in range(nres):
+            blocks, attns = [], []
+            block_in = cfg.ch * in_mult[i]
+            block_out = cfg.ch * cfg.ch_mult[i]
+            sparse = curr_res >= cfg.sparse_resolution_threshold
+            for _ in range(cfg.num_res_blocks):
+                blocks.append(SIGEPDResnetBlock(
+                    cfg=cfg, in_channels=block_in, out_channels=block_out,
+                    support_sparse=sparse))
+                block_in = block_out
+                if curr_res in cfg.attn_resolutions:
+                    attns.append(SIGEPDAttnBlock(cfg=cfg, channels=block_in))
+            down_blocks.append(blocks)
+            down_attns.append(attns)
+            if i != nres - 1:
+                downsamples.append(SIGEPDResnetBlock(
+                    cfg=cfg, in_channels=block_in, out_channels=block_in,
+                    resample="down", support_sparse=sparse))
+                curr_res //= 2
+        self.down_blocks = down_blocks
+        self.down_attns = down_attns
+        self.downsamples = downsamples
+
+        sparse_mid = curr_res >= cfg.sparse_resolution_threshold
+        self.mid_block1 = SIGEPDResnetBlock(
+            cfg=cfg, in_channels=block_in, out_channels=block_in,
+            support_sparse=sparse_mid)
+        self.mid_attn = SIGEPDAttnBlock(cfg=cfg, channels=block_in)
+        self.mid_block2 = SIGEPDResnetBlock(
+            cfg=cfg, in_channels=block_in, out_channels=block_in,
+            support_sparse=sparse_mid)
+
+        up_blocks, up_attns, upsamples = [], [], []
+        for i in reversed(range(nres)):
+            blocks, attns = [], []
+            block_out = cfg.ch * cfg.ch_mult[i]
+            skip_in = cfg.ch * cfg.ch_mult[i]
+            sparse = curr_res >= cfg.sparse_resolution_threshold
+            for ib in range(cfg.num_res_blocks + 1):
+                if ib == cfg.num_res_blocks:
+                    skip_in = cfg.ch * in_mult[i]
+                blocks.append(SIGEPDResnetBlock(
+                    cfg=cfg, in_channels=block_in + skip_in,
+                    out_channels=block_out, support_sparse=sparse))
+                block_in = block_out
+                if curr_res in cfg.attn_resolutions:
+                    attns.append(SIGEPDAttnBlock(cfg=cfg, channels=block_in))
+            up_blocks.insert(0, blocks)
+            up_attns.insert(0, attns)
+            if i != 0:
+                upsamples.insert(0, SIGEPDResnetBlock(
+                    cfg=cfg, in_channels=block_in, out_channels=block_out,
+                    resample="up", support_sparse=sparse))
+                curr_res *= 2
+        self.up_blocks = up_blocks
+        self.up_attns = up_attns
+        self.upsamples = upsamples
+
+        self.norm_out_scale = self.param(
+            "norm_out_scale", nn.initializers.ones_init(), (block_in,))
+        self.norm_out_bias = self.param(
+            "norm_out_bias", nn.initializers.zeros_init(), (block_in,))
+        self.conv_out = SIGEConv2d(features=cfg.out_ch, kernel_size=3,
+                                   padding=1, tile_input=False)
+
+    def _logsnr_input(self, logsnr):
+        t = self.cfg.logsnr_input_type
+        if t == "linear":
+            raise NotImplementedError("linear logsnr input needs scale range")
+        if t == "sigmoid":
+            return jax.nn.sigmoid(logsnr)
+        if t == "inv_cos":
+            return jnp.arctan(jnp.exp(-0.5 * jnp.clip(logsnr, -20.0, 20.0))) / (
+                0.5 * math.pi)
+        raise NotImplementedError(t)
+
+    def __call__(self, x, logsnr, ctx: SIGECtx):
+        cfg = self.cfg
+        nres = len(cfg.ch_mult)
+        if ctx.mode in ("dense", "full"):
+            temb = timestep_embedding(self._logsnr_input(logsnr) * 1000.0, cfg.ch)
+            temb = self.temb_dense0(temb)
+            temb = _swish(temb)
+            temb = self.temb_dense1(temb)
+        else:
+            temb = None
+
+        hs = [self.conv_in(x, ctx)]
+        for i in range(nres):
+            for ib in range(cfg.num_res_blocks):
+                h = self.down_blocks[i][ib](hs[-1], temb, ctx)
+                if self.down_attns[i]:
+                    h = self.down_attns[i][ib](h, ctx)
+                hs.append(h)
+            if i != nres - 1:
+                hs.append(self.downsamples[i](hs[-1], temb, ctx))
+
+        h = hs[-1]
+        h = self.mid_block1(h, temb, ctx)
+        h = self.mid_attn(h, ctx)
+        h = self.mid_block2(h, temb, ctx)
+
+        for i in reversed(range(nres)):
+            for ib in range(cfg.num_res_blocks + 1):
+                h = self.up_blocks[i][ib](
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, ctx)
+                if self.up_attns[i]:
+                    h = self.up_attns[i][ib](h, ctx)
+            if i != 0:
+                h = self.upsamples[i - 1](h, temb, ctx)
+
+        h, _, _ = group_norm_with_affine(
+            h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)
+        h = _swish(h)
+        return self.conv_out(h, ctx)

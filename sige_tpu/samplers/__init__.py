@@ -7,6 +7,7 @@ from .diffusion import (
 )
 from .ddim_ddpm import DDIMSampler, DDPMSampler
 from .dpm_solver import DPMSolverSampler
+from .pd import PDSampler, logsnr_schedule
 
 __all__ = [
     "DiffusionSchedule",
@@ -15,4 +16,6 @@ __all__ = [
     "DDIMSampler",
     "DDPMSampler",
     "DPMSolverSampler",
+    "PDSampler",
+    "logsnr_schedule",
 ]
