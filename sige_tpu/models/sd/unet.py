@@ -1,0 +1,533 @@
+"""Stable Diffusion U-Net (openaimodel architecture) with SIGE wiring.
+
+Reference: stable-diffusion/ldm/modules/diffusionmodules/
+sige_openaimodel.py + ldm/modules/sige_attention.py.
+
+Highlights of the sparse design:
+  * ResBlocks fold GroupNorm + SiLU into the gathers (hard-coded main
+    block 6 / shortcut block 4; reference: sige_openaimodel.py:79-81) with
+    the additive temb absorbed into the cached norm2 shift;
+  * the SpatialTransformer keeps attention *global* while queries stay
+    tile-local: proj_in tiles are scattered onto the cached full map to
+    form the K/V token sequence, the Q sequence is the tile tokens, and
+    the text cross-attention reuses K/V projections cached by the full
+    pass (reference: sige_attention.py:30-42, 134-185);
+  * the middle block runs dense (block_size None;
+    reference: sige_openaimodel.py:370-396) but still uses cached folded
+    norms and cached text K/V in sparse mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...nn.module import (
+    Gather,
+    Scatter,
+    ScatterGather,
+    ScatterWithBlockResidual,
+    SIGEConv2d,
+    SIGECtx,
+    SIGEModule,
+    _slotted_cache,
+    sow_macs,
+)
+from ..ddpm.unet import _FoldedGroupNorm, _swish
+from ...nn.norm import group_norm_with_affine
+
+
+@dataclasses.dataclass(frozen=True)
+class SDUNetConfig:
+    """SD v1 defaults (reference: stable-diffusion/configs/sige.yaml:50-66)."""
+
+    in_channels: int = 4
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)  # downsample factors
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    num_groups: int = 32
+    main_block_size: Optional[int] = 6
+    shortcut_block_size: Optional[int] = 4
+    transformer_block_size: Optional[int] = 4
+    cache_slots: int = 1
+
+
+def sd_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
+    """openai-convention embedding: cat([cos, sin]), freqs over half
+    (reference: ldm/modules/diffusionmodules/util.py timestep_embedding)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class SIGESDResBlock(SIGEModule):
+    """Reference: sige_openaimodel.py:67-224 (use_scale_shift_norm=False
+    in SD v1 -> additive temb folded as pre-shift)."""
+
+    cfg: SDUNetConfig
+    channels: int
+    out_channels: int
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        cin, cout = self.channels, self.out_channels
+        self.main_sparse = self.support_sparse and cfg.main_block_size is not None
+        self.shortcut_sparse = (
+            self.main_sparse and cin != cout and cfg.shortcut_block_size is not None)
+        self.norm1 = _FoldedGroupNorm(cin, cfg.num_groups, cfg.cache_slots)
+        self.conv1 = SIGEConv2d(features=cout, kernel_size=3, padding=1,
+                                tile_input=self.main_sparse)
+        self.emb_proj = nn.Dense(cout)
+        self.norm2 = _FoldedGroupNorm(cout, cfg.num_groups, cfg.cache_slots)
+        self.conv2 = SIGEConv2d(features=cout, kernel_size=3, padding=1,
+                                tile_input=self.main_sparse)
+        if self.main_sparse:
+            self.main_gather = Gather(block_size=cfg.main_block_size,
+                                      kernel_size=3, conv_stride=1,
+                                      conv_padding=1, activation="swish")
+            self.sg = ScatterGather(gather=self.main_gather, activation="swish",
+                                    cache_slots=cfg.cache_slots)
+        if cin != cout:
+            self.skip = SIGEConv2d(features=cout, kernel_size=1, padding=0,
+                                   tile_input=self.shortcut_sparse)
+            if self.shortcut_sparse:
+                self.shortcut_gather = Gather(
+                    block_size=cfg.shortcut_block_size, kernel_size=1,
+                    conv_stride=1, conv_padding=0)
+                self.join = ScatterWithBlockResidual(
+                    main_gather=self.main_gather,
+                    shortcut_gather=self.shortcut_gather,
+                    cache_slots=cfg.cache_slots)
+            elif self.main_sparse:
+                self.join = Scatter(gather=self.main_gather,
+                                    cache_slots=cfg.cache_slots)
+        elif self.main_sparse:
+            self.join = Scatter(gather=self.main_gather,
+                                cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, emb, ctx: SIGECtx):
+        h, xs = x, x
+        if self.channels != self.out_channels:
+            if self.shortcut_sparse:
+                xs = self.shortcut_gather(xs, ctx)
+            xs = self.skip(xs, ctx)
+
+        if ctx.mode in ("dense", "full"):
+            if self.main_sparse:
+                h = self.main_gather(h, ctx)
+            h, _, _ = self.norm1(h, ctx)
+            h = _swish(h)
+            h = self.conv1(h, ctx)
+            if self.main_sparse:
+                h = self.sg(h, ctx)
+            emb_out = self.emb_proj(_swish(emb))  # [B, cout]
+            h = h + emb_out[:, None, None, :]
+            h, _, _ = self.norm2(h, ctx, pre_shift=emb_out)
+            h = _swish(h)
+            h = self.conv2(h, ctx)
+        else:
+            _, s1, b1 = self.norm1(h, ctx)
+            if self.main_sparse:
+                h = self.main_gather(h, ctx, scale=s1, shift=b1)
+            else:
+                h = _swish(h * s1[:, None, None, :] + b1[:, None, None, :])
+            h = self.conv1(h, ctx)
+            _, s2, b2 = self.norm2(h, ctx)
+            if self.main_sparse:
+                h = self.sg(h, ctx, scale=s2, shift=b2)
+            else:
+                h = _swish(h * s2[:, None, None, :] + b2[:, None, None, :])
+            h = self.conv2(h, ctx)
+
+        if self.main_sparse:
+            return self.join(h, ctx, residual=xs)
+        return h + xs
+
+
+class SIGECrossAttention(SIGEModule):
+    """Cross-attention whose K/V (text projections) are cached by the full
+    pass and reused sparsely (reference: sige_attention.py:12-63)."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    cache_slots: int = 1
+
+    @nn.compact
+    def __call__(self, x, ctx: SIGECtx, context=None):
+        inner = self.heads * self.dim_head
+        to_q = nn.Dense(inner, use_bias=False, name="to_q")
+        to_k = nn.Dense(inner, use_bias=False, name="to_k")
+        to_v = nn.Dense(inner, use_bias=False, name="to_v")
+        to_out = nn.Dense(self.query_dim, name="to_out")
+
+        q = to_q(x)
+        src = x if context is None else context
+        if ctx.mode in ("dense", "full"):
+            k, v = to_k(src), to_v(src)
+            if ctx.mode == "full":
+                _slotted_cache(self, "k", k, self.cache_slots, ctx.cache_id)
+                _slotted_cache(self, "v", v, self.cache_slots, ctx.cache_id)
+        else:
+            k = self.get_variable("cache", "k")[ctx.cache_id]
+            v = self.get_variable("cache", "v")[ctx.cache_id]
+
+        B, N, _ = q.shape
+        M = k.shape[1]
+        hd, nh = self.dim_head, self.heads
+        qh = q.reshape(B, N, nh, hd)
+        kh = k.reshape(B, M, nh, hd)
+        vh = v.reshape(B, M, nh, hd)
+        sim = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
+        sow_macs(self, 2 * B * N * M * nh * hd)
+        return to_out(out)
+
+
+class _SelfAttention(nn.Module):
+    """Plain self/contextual attention (fresh K/V every call) for attn1
+    (reference: ldm/modules/attention.py CrossAttention)."""
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        src = x if context is None else context
+        k = nn.Dense(inner, use_bias=False, name="to_k")(src)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(src)
+        B, N, _ = q.shape
+        M = k.shape[1]
+        nh, hd = self.heads, self.dim_head
+        qh = q.reshape(B, N, nh, hd)
+        kh = k.reshape(B, M, nh, hd)
+        vh = v.reshape(B, M, nh, hd)
+        sim = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
+        return nn.Dense(self.query_dim, name="to_out")(out)
+
+
+class _GEGLUFeedForward(nn.Module):
+    """Gated-GELU feed-forward (reference: ldm/modules/attention.py
+    FeedForward with glu=True)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, name="proj")(x)
+        a, g = jnp.split(proj, 2, axis=-1)
+        return nn.Dense(self.dim, name="out")(a * jax.nn.gelu(g))
+
+
+class SIGEBasicTransformerBlock(SIGEModule):
+    """Self-attn (Q tiles / K,V full map) -> text cross-attn (cached K/V)
+    -> GEGLU FF (reference: sige_attention.py:66-88)."""
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    cache_slots: int = 1
+
+    def setup(self):
+        self.attn1 = _SelfAttention(query_dim=self.dim, heads=self.n_heads,
+                                    dim_head=self.d_head)
+        self.attn2 = SIGECrossAttention(
+            query_dim=self.dim, context_dim=self.context_dim,
+            heads=self.n_heads, dim_head=self.d_head,
+            cache_slots=self.cache_slots)
+        self.ff = _GEGLUFeedForward(dim=self.dim)
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm()
+
+    def __call__(self, x, ctx: SIGECtx, full_x=None, context=None):
+        sa_ctx = None if full_x is None else self.norm1(full_x)
+        x = self.attn1(self.norm1(x), context=sa_ctx) + x
+        x = self.attn2(self.norm2(x), ctx, context=context) + x
+        x = self.ff(self.norm3(x)) + x
+        return x
+
+
+class SIGESpatialTransformer(SIGEModule):
+    """Reference: sige_attention.py:91-185."""
+
+    cfg: SDUNetConfig
+    channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        self.sparse_ok = self.support_sparse and cfg.transformer_block_size is not None
+        inner = self.n_heads * self.d_head
+        self.inner = inner
+        self.norm = _FoldedGroupNorm(self.channels, cfg.num_groups, cfg.cache_slots)
+        self.proj_in = SIGEConv2d(features=inner, kernel_size=1, padding=0,
+                                  tile_input=self.sparse_ok)
+        self.blocks = [
+            SIGEBasicTransformerBlock(
+                dim=inner, n_heads=self.n_heads, d_head=self.d_head,
+                context_dim=cfg.context_dim, cache_slots=cfg.cache_slots)
+            for _ in range(self.depth)
+        ]
+        self.proj_out = SIGEConv2d(features=self.channels, kernel_size=1,
+                                   padding=0, tile_input=self.sparse_ok)
+        if self.sparse_ok:
+            bs = cfg.transformer_block_size
+            self.gather = Gather(block_size=bs, kernel_size=1, conv_stride=1,
+                                 conv_padding=0)
+            self.scatter1 = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
+            self.scatter2 = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, ctx: SIGECtx, context=None):
+        B, H, W, C = x.shape
+        x_in = x
+        sparse = ctx.mode == "sparse"
+
+        if not sparse:
+            h = self.gather(x, ctx) if self.sparse_ok else x
+            h, _, _ = self.norm(h, ctx)
+        else:
+            _, s, b = self.norm(x, ctx)
+            if self.sparse_ok:
+                h = self.gather(x, ctx, scale=s, shift=b)
+            else:
+                h = x * s[:, None, None, :] + b[:, None, None, :]
+        h = self.proj_in(h, ctx)
+
+        if self.sparse_ok:
+            full = self.scatter1(h, ctx)  # full map (cached in full mode)
+            full_tok = full.reshape(B, H * W, self.inner)
+            if not sparse:
+                tok = full_tok
+                full_arg = None
+            else:
+                bs = self.cfg.transformer_block_size
+                K = h.shape[0] // B
+                tok = h.reshape(B, K * bs * bs, self.inner)
+                full_arg = full_tok
+        else:
+            tok = h.reshape(B, H * W, self.inner)
+            full_arg = None
+
+        for block in self.blocks:
+            tok = block(tok, ctx, full_x=full_arg, context=context)
+
+        if self.sparse_ok and sparse:
+            bs = self.cfg.transformer_block_size
+            h = tok.reshape(B * (tok.shape[1] // (bs * bs)), bs, bs, self.inner)
+        else:
+            h = tok.reshape(B, H, W, self.inner)
+        h = self.proj_out(h, ctx)
+        if self.sparse_ok:
+            return self.scatter2(h, ctx, residual=x_in)
+        return h + x_in
+
+
+class SIGESDDownsample(SIGEModule):
+    """Stride-2 conv, symmetric padding 1 (reference: sige_openaimodel.py:14-33)."""
+
+    cfg: SDUNetConfig
+    channels: int
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        self.sparse_ok = self.support_sparse and cfg.main_block_size is not None
+        self.op = SIGEConv2d(features=self.channels, kernel_size=3, stride=2,
+                             padding=1, tile_input=self.sparse_ok)
+        if self.sparse_ok:
+            self.g = Gather(block_size=cfg.main_block_size, kernel_size=3,
+                            conv_stride=2, conv_padding=1)
+            self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, ctx: SIGECtx):
+        if self.sparse_ok:
+            x = self.g(x, ctx)
+        x = self.op(x, ctx)
+        if self.sparse_ok:
+            x = self.s(x, ctx)
+        return x
+
+
+class SIGESDUpsample(SIGEModule):
+    """Nearest 2x + conv (reference: sige_openaimodel.py:36-64)."""
+
+    cfg: SDUNetConfig
+    channels: int
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        self.sparse_ok = self.support_sparse and cfg.main_block_size is not None
+        self.conv = SIGEConv2d(features=self.channels, kernel_size=3,
+                               padding=1, tile_input=self.sparse_ok)
+        if self.sparse_ok:
+            self.g = Gather(block_size=cfg.main_block_size, kernel_size=3,
+                            conv_stride=1, conv_padding=1)
+            self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, ctx: SIGECtx):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.sparse_ok:
+            x = self.g(x, ctx)
+        x = self.conv(x, ctx)
+        if self.sparse_ok:
+            x = self.s(x, ctx)
+        return x
+
+
+class SIGESDUNet(SIGEModule):
+    """Reference: sige_openaimodel.py:226-451 (structure mirrors
+    openaimodel.UNetModel). ``__call__(x, t, context, ctx)`` with
+    x [B, H, W, in_channels] latents and context [B, seq, context_dim]
+    text embeddings."""
+
+    cfg: SDUNetConfig = SDUNetConfig()
+
+    def setup(self):
+        cfg = self.cfg
+        mc = cfg.model_channels
+        ted = mc * 4
+        self.time_dense0 = nn.Dense(ted)
+        self.time_dense1 = nn.Dense(ted)
+        self.conv_in = SIGEConv2d(features=mc, kernel_size=3, padding=1,
+                                  tile_input=False)
+
+        def make_transformer(ch):
+            nh = cfg.num_heads
+            return SIGESpatialTransformer(
+                cfg=cfg, channels=ch, n_heads=nh, d_head=ch // nh,
+                depth=cfg.transformer_depth)
+
+        in_blocks, in_kinds = [], []   # parallel lists in traversal order
+        input_chans = [mc]
+        ch = mc
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            for _ in range(cfg.num_res_blocks):
+                mods = [SIGESDResBlock(cfg=cfg, channels=ch,
+                                       out_channels=mult * mc)]
+                kinds = ["res"]
+                ch = mult * mc
+                if ds in cfg.attention_resolutions:
+                    mods.append(make_transformer(ch))
+                    kinds.append("attn")
+                in_blocks.append(mods)
+                in_kinds.append(kinds)
+                input_chans.append(ch)
+            if level != len(cfg.channel_mult) - 1:
+                in_blocks.append([SIGESDDownsample(cfg=cfg, channels=ch)])
+                in_kinds.append(["down"])
+                input_chans.append(ch)
+                ds *= 2
+        self.in_blocks = in_blocks
+        self.in_kinds = in_kinds
+        self._input_chans = input_chans
+
+        self.mid_block1 = SIGESDResBlock(
+            cfg=cfg, channels=ch, out_channels=ch, support_sparse=False)
+        self.mid_attn = SIGESpatialTransformer(
+            cfg=cfg, channels=ch, n_heads=cfg.num_heads,
+            d_head=ch // cfg.num_heads, depth=cfg.transformer_depth,
+            support_sparse=False)
+        self.mid_block2 = SIGESDResBlock(
+            cfg=cfg, channels=ch, out_channels=ch, support_sparse=False)
+
+        out_blocks, out_kinds = [], []
+        chans = list(input_chans)
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            for i in range(cfg.num_res_blocks + 1):
+                ich = chans.pop()
+                mods = [SIGESDResBlock(cfg=cfg, channels=ch + ich,
+                                       out_channels=mult * mc)]
+                kinds = ["res"]
+                ch = mult * mc
+                if ds in cfg.attention_resolutions:
+                    mods.append(make_transformer(ch))
+                    kinds.append("attn")
+                if level and i == cfg.num_res_blocks:
+                    mods.append(SIGESDUpsample(cfg=cfg, channels=ch))
+                    kinds.append("up")
+                    ds //= 2
+                out_blocks.append(mods)
+                out_kinds.append(kinds)
+        self.out_blocks = out_blocks
+        self.out_kinds = out_kinds
+
+        self.out_norm_scale = self.param(
+            "out_norm_scale", nn.initializers.ones_init(), (ch,))
+        self.out_norm_bias = self.param(
+            "out_norm_bias", nn.initializers.zeros_init(), (ch,))
+        self.conv_out = SIGEConv2d(features=cfg.out_channels, kernel_size=3,
+                                   padding=1, tile_input=False)
+
+    def __call__(self, x, t, context, ctx: SIGECtx):
+        cfg = self.cfg
+        if ctx.mode in ("dense", "full"):
+            emb = sd_timestep_embedding(t, cfg.model_channels)
+            emb = self.time_dense0(emb)
+            emb = _swish(emb)
+            emb = self.time_dense1(emb)
+        else:
+            emb = None
+
+        hs = [self.conv_in(x, ctx)]
+        for mods, kinds in zip(self.in_blocks, self.in_kinds):
+            h = hs[-1]
+            for kind, mod in zip(kinds, mods):
+                if kind == "res":
+                    h = mod(h, emb, ctx)
+                elif kind == "attn":
+                    h = mod(h, ctx, context=context)
+                else:
+                    h = mod(h, ctx)
+            hs.append(h)
+
+        h = hs[-1]
+        h = self.mid_block1(h, emb, ctx)
+        h = self.mid_attn(h, ctx, context=context)
+        h = self.mid_block2(h, emb, ctx)
+
+        for mods, kinds in zip(self.out_blocks, self.out_kinds):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            for kind, mod in zip(kinds, mods):
+                if kind == "res":
+                    h = mod(h, emb, ctx)
+                elif kind == "attn":
+                    h = mod(h, ctx, context=context)
+                else:
+                    h = mod(h, ctx)
+
+        h, _, _ = group_norm_with_affine(
+            h, cfg.num_groups, self.out_norm_scale, self.out_norm_bias, eps=1e-6)
+        h = _swish(h)
+        return self.conv_out(h, ctx)

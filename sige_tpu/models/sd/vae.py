@@ -1,0 +1,390 @@
+"""Stable Diffusion VAE (AutoencoderKL) with SIGE wiring.
+
+Reference: stable-diffusion/ldm/modules/diffusionmodules/sige_model.py,
+model.py:180-264, ldm/models/sige_autoencoder.py.
+
+The distinctive kernel here is the sparse-query global attention of the
+mid block: Q comes from the active tiles only, while K/V are scattered
+onto the cached full map — attention output is computed for edited
+positions against global context (reference: model.py:180-253). SD v1's
+VAE has no other attention (attn_resolutions = []).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...nn.module import (
+    Gather,
+    Scatter,
+    ScatterGather,
+    ScatterWithBlockResidual,
+    SIGEConv2d,
+    SIGECtx,
+    SIGEModule,
+    sow_macs,
+)
+from ...nn.norm import group_norm_with_affine
+from ..ddpm.unet import _FoldedGroupNorm, _swish
+
+
+@dataclasses.dataclass(frozen=True)
+class SDVAEConfig:
+    """SD v1 ddconfig (reference: stable-diffusion/configs/sige.yaml:13-27)."""
+
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = ()
+    in_channels: int = 3
+    out_ch: int = 3
+    z_channels: int = 4
+    double_z: bool = True
+    resolution: int = 256
+    num_groups: int = 32
+    main_block_size: Optional[int] = 6
+    shortcut_block_size: Optional[int] = 4
+    attn_block_size: Optional[int] = 4
+    cache_slots: int = 1
+
+
+class SIGEVAEResnetBlock(SIGEModule):
+    """Reference: sige_model.py:10-139 (temb_channels = 0 at inference)."""
+
+    cfg: SDVAEConfig
+    in_channels: int
+    out_channels: int
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        cin, cout = self.in_channels, self.out_channels
+        self.main_sparse = self.support_sparse and cfg.main_block_size is not None
+        self.shortcut_sparse = (
+            self.main_sparse and cin != cout and cfg.shortcut_block_size is not None)
+        self.norm1 = _FoldedGroupNorm(cin, cfg.num_groups, cfg.cache_slots)
+        self.conv1 = SIGEConv2d(features=cout, kernel_size=3, padding=1,
+                                tile_input=self.main_sparse)
+        self.norm2 = _FoldedGroupNorm(cout, cfg.num_groups, cfg.cache_slots)
+        self.conv2 = SIGEConv2d(features=cout, kernel_size=3, padding=1,
+                                tile_input=self.main_sparse)
+        if self.main_sparse:
+            self.main_gather = Gather(block_size=cfg.main_block_size,
+                                      kernel_size=3, conv_stride=1,
+                                      conv_padding=1, activation="swish")
+            self.sg = ScatterGather(gather=self.main_gather, activation="swish",
+                                    cache_slots=cfg.cache_slots)
+        if cin != cout:
+            self.nin_shortcut = SIGEConv2d(features=cout, kernel_size=1,
+                                           padding=0,
+                                           tile_input=self.shortcut_sparse)
+            if self.shortcut_sparse:
+                self.shortcut_gather = Gather(
+                    block_size=cfg.shortcut_block_size, kernel_size=1,
+                    conv_stride=1, conv_padding=0)
+                self.join = ScatterWithBlockResidual(
+                    main_gather=self.main_gather,
+                    shortcut_gather=self.shortcut_gather,
+                    cache_slots=cfg.cache_slots)
+            elif self.main_sparse:
+                self.join = Scatter(gather=self.main_gather,
+                                    cache_slots=cfg.cache_slots)
+        elif self.main_sparse:
+            self.join = Scatter(gather=self.main_gather,
+                                cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, ctx: SIGECtx):
+        h, xs = x, x
+        if self.in_channels != self.out_channels:
+            if self.shortcut_sparse:
+                xs = self.shortcut_gather(xs, ctx)
+            xs = self.nin_shortcut(xs, ctx)
+
+        if ctx.mode in ("dense", "full"):
+            if self.main_sparse:
+                h = self.main_gather(h, ctx)
+            h, _, _ = self.norm1(h, ctx)
+            h = _swish(h)
+            h = self.conv1(h, ctx)
+            if self.main_sparse:
+                h = self.sg(h, ctx)
+            h, _, _ = self.norm2(h, ctx)
+            h = _swish(h)
+            h = self.conv2(h, ctx)
+        else:
+            _, s1, b1 = self.norm1(h, ctx)
+            if self.main_sparse:
+                h = self.main_gather(h, ctx, scale=s1, shift=b1)
+            else:
+                h = _swish(h * s1[:, None, None, :] + b1[:, None, None, :])
+            h = self.conv1(h, ctx)
+            _, s2, b2 = self.norm2(h, ctx)
+            if self.main_sparse:
+                h = self.sg(h, ctx, scale=s2, shift=b2)
+            else:
+                h = _swish(h * s2[:, None, None, :] + b2[:, None, None, :])
+            h = self.conv2(h, ctx)
+
+        if self.main_sparse:
+            return self.join(h, ctx, residual=xs)
+        return h + xs
+
+
+class SIGEVAEAttnBlock(SIGEModule):
+    """Sparse-query / dense-K,V global attention
+    (reference: model.py:180-253): Q from active tiles only, K/V scattered
+    onto the cached full maps."""
+
+    cfg: SDVAEConfig
+    channels: int
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        self.sparse_ok = self.support_sparse and cfg.attn_block_size is not None
+        self.norm = _FoldedGroupNorm(self.channels, cfg.num_groups, cfg.cache_slots)
+        self.q = SIGEConv2d(features=self.channels, kernel_size=1, padding=0,
+                            tile_input=self.sparse_ok)
+        self.k = SIGEConv2d(features=self.channels, kernel_size=1, padding=0,
+                            tile_input=self.sparse_ok)
+        self.v = SIGEConv2d(features=self.channels, kernel_size=1, padding=0,
+                            tile_input=self.sparse_ok)
+        self.proj_out = SIGEConv2d(features=self.channels, kernel_size=1,
+                                   padding=0, tile_input=self.sparse_ok)
+        if self.sparse_ok:
+            bs = cfg.attn_block_size
+            self.gather = Gather(block_size=bs, kernel_size=1, conv_stride=1,
+                                 conv_padding=0)
+            self.k_scatter = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
+            self.v_scatter = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
+            self.out_scatter = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, ctx: SIGECtx):
+        C = self.channels
+        B = x.shape[0]
+        sparse = ctx.mode == "sparse"
+        if not sparse:
+            h = self.gather(x, ctx) if self.sparse_ok else x
+            h, _, _ = self.norm(h, ctx)
+        else:
+            _, s, b = self.norm(x, ctx)
+            if self.sparse_ok:
+                h = self.gather(x, ctx, scale=s, shift=b)
+            else:
+                h = x * s[:, None, None, :] + b[:, None, None, :]
+
+        q = self.q(h, ctx)
+        k = self.k(h, ctx)
+        v = self.v(h, ctx)
+        if self.sparse_ok:
+            k = self.k_scatter(k, ctx)  # full map (cache in full mode)
+            v = self.v_scatter(v, ctx)
+
+        if sparse and self.sparse_ok:
+            bs = self.cfg.attn_block_size
+            K = q.shape[0] // B
+            qt = q.reshape(B, K * bs * bs, C)         # tile-token queries
+        else:
+            Hq, Wq = q.shape[1:3]
+            qt = q.reshape(B, Hq * Wq, C)
+        Hk, Wk = k.shape[1:3]
+        kt = k.reshape(B, Hk * Wk, C)
+        vt = v.reshape(B, Hk * Wk, C)
+
+        logits = jnp.einsum("bqc,bkc->bqk", qt, kt) * (C ** -0.5)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", w, vt)
+        sow_macs(self, 2 * B * qt.shape[1] * kt.shape[1] * C)
+
+        if sparse and self.sparse_ok:
+            bs = self.cfg.attn_block_size
+            out = out.reshape(B * (out.shape[1] // (bs * bs)), bs, bs, C)
+        else:
+            out = out.reshape(B, Hk, Wk, C)
+        out = self.proj_out(out, ctx)
+        if self.sparse_ok:
+            return self.out_scatter(out, ctx, residual=x)
+        return out + x
+
+
+class SIGEVAEDownsample(SIGEModule):
+    """Asymmetric (0,1,0,1) pad stride-2 conv (reference: sige_model.py:140-157)."""
+
+    cfg: SDVAEConfig
+    channels: int
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        self.sparse_ok = self.support_sparse and cfg.main_block_size is not None
+        self.conv = SIGEConv2d(features=self.channels, kernel_size=3, stride=2,
+                               padding=((0, 1), (0, 1)), tile_input=self.sparse_ok)
+        if self.sparse_ok:
+            self.g = Gather(block_size=cfg.main_block_size, kernel_size=3,
+                            conv_stride=2, conv_padding=0)
+            self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, ctx: SIGECtx):
+        if self.sparse_ok:
+            x = self.g(x, ctx)
+        x = self.conv(x, ctx)
+        if self.sparse_ok:
+            x = self.s(x, ctx)
+        return x
+
+
+class SIGEVAEUpsample(SIGEModule):
+    """Nearest 2x + conv (reference: sige_model.py:159-172)."""
+
+    cfg: SDVAEConfig
+    channels: int
+    support_sparse: bool = True
+
+    def setup(self):
+        cfg = self.cfg
+        self.sparse_ok = self.support_sparse and cfg.main_block_size is not None
+        self.conv = SIGEConv2d(features=self.channels, kernel_size=3,
+                               padding=1, tile_input=self.sparse_ok)
+        if self.sparse_ok:
+            self.g = Gather(block_size=cfg.main_block_size, kernel_size=3,
+                            conv_stride=1, conv_padding=1)
+            self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
+
+    def __call__(self, x, ctx: SIGECtx):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.sparse_ok:
+            x = self.g(x, ctx)
+        x = self.conv(x, ctx)
+        if self.sparse_ok:
+            x = self.s(x, ctx)
+        return x
+
+
+class SIGEEncoder(SIGEModule):
+    """Reference: sige_model.py:175-276."""
+
+    cfg: SDVAEConfig = SDVAEConfig()
+
+    def setup(self):
+        cfg = self.cfg
+        nres = len(cfg.ch_mult)
+        self.conv_in = SIGEConv2d(features=cfg.ch, kernel_size=3, padding=1,
+                                  tile_input=False)
+        in_mult = (1,) + tuple(cfg.ch_mult)
+        blocks, attns, downs = [], [], []
+        curr_res = cfg.resolution
+        block_in = None
+        for i in range(nres):
+            lvl_blocks, lvl_attns = [], []
+            block_in = cfg.ch * in_mult[i]
+            block_out = cfg.ch * cfg.ch_mult[i]
+            for _ in range(cfg.num_res_blocks):
+                lvl_blocks.append(SIGEVAEResnetBlock(
+                    cfg=cfg, in_channels=block_in, out_channels=block_out))
+                block_in = block_out
+                if curr_res in cfg.attn_resolutions:
+                    lvl_attns.append(SIGEVAEAttnBlock(cfg=cfg, channels=block_in))
+            blocks.append(lvl_blocks)
+            attns.append(lvl_attns)
+            if i != nres - 1:
+                downs.append(SIGEVAEDownsample(cfg=cfg, channels=block_in))
+                curr_res //= 2
+        self.down_blocks = blocks
+        self.down_attns = attns
+        self.downsamples = downs
+        self.mid_block1 = SIGEVAEResnetBlock(
+            cfg=cfg, in_channels=block_in, out_channels=block_in)
+        self.mid_attn = SIGEVAEAttnBlock(cfg=cfg, channels=block_in)
+        self.mid_block2 = SIGEVAEResnetBlock(
+            cfg=cfg, in_channels=block_in, out_channels=block_in)
+        self.norm_out_scale = self.param(
+            "norm_out_scale", nn.initializers.ones_init(), (block_in,))
+        self.norm_out_bias = self.param(
+            "norm_out_bias", nn.initializers.zeros_init(), (block_in,))
+        zc = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+        self.conv_out = SIGEConv2d(features=zc, kernel_size=3, padding=1,
+                                   tile_input=False)
+
+    def __call__(self, x, ctx: SIGECtx):
+        cfg = self.cfg
+        h = self.conv_in(x, ctx)
+        for i in range(len(cfg.ch_mult)):
+            for ib in range(cfg.num_res_blocks):
+                h = self.down_blocks[i][ib](h, ctx)
+                if self.down_attns[i]:
+                    h = self.down_attns[i][ib](h, ctx)
+            if i != len(cfg.ch_mult) - 1:
+                h = self.downsamples[i](h, ctx)
+        h = self.mid_block1(h, ctx)
+        h = self.mid_attn(h, ctx)
+        h = self.mid_block2(h, ctx)
+        h, _, _ = group_norm_with_affine(
+            h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)
+        h = _swish(h)
+        return self.conv_out(h, ctx)
+
+
+class SIGEDecoder(SIGEModule):
+    """Reference: sige_model.py:279-392."""
+
+    cfg: SDVAEConfig = SDVAEConfig()
+
+    def setup(self):
+        cfg = self.cfg
+        nres = len(cfg.ch_mult)
+        block_in = cfg.ch * cfg.ch_mult[-1]
+        self.conv_in = SIGEConv2d(features=block_in, kernel_size=3, padding=1,
+                                  tile_input=False)
+        self.mid_block1 = SIGEVAEResnetBlock(
+            cfg=cfg, in_channels=block_in, out_channels=block_in)
+        self.mid_attn = SIGEVAEAttnBlock(cfg=cfg, channels=block_in)
+        self.mid_block2 = SIGEVAEResnetBlock(
+            cfg=cfg, in_channels=block_in, out_channels=block_in)
+        curr_res = cfg.resolution // (2 ** (nres - 1))
+        blocks, attns, ups = [], [], []
+        for i in reversed(range(nres)):
+            lvl_blocks, lvl_attns = [], []
+            block_out = cfg.ch * cfg.ch_mult[i]
+            for _ in range(cfg.num_res_blocks + 1):
+                lvl_blocks.append(SIGEVAEResnetBlock(
+                    cfg=cfg, in_channels=block_in, out_channels=block_out))
+                block_in = block_out
+                if curr_res in cfg.attn_resolutions:
+                    lvl_attns.append(SIGEVAEAttnBlock(cfg=cfg, channels=block_in))
+            blocks.insert(0, lvl_blocks)
+            attns.insert(0, lvl_attns)
+            if i != 0:
+                ups.insert(0, SIGEVAEUpsample(cfg=cfg, channels=block_in))
+                curr_res *= 2
+        self.up_blocks = blocks
+        self.up_attns = attns
+        self.upsamples = ups
+        self.norm_out_scale = self.param(
+            "norm_out_scale", nn.initializers.ones_init(), (block_in,))
+        self.norm_out_bias = self.param(
+            "norm_out_bias", nn.initializers.zeros_init(), (block_in,))
+        self.conv_out = SIGEConv2d(features=cfg.out_ch, kernel_size=3,
+                                   padding=1, tile_input=False)
+
+    def __call__(self, z, ctx: SIGECtx):
+        cfg = self.cfg
+        h = self.conv_in(z, ctx)
+        h = self.mid_block1(h, ctx)
+        h = self.mid_attn(h, ctx)
+        h = self.mid_block2(h, ctx)
+        for i in reversed(range(len(cfg.ch_mult))):
+            for ib in range(cfg.num_res_blocks + 1):
+                h = self.up_blocks[i][ib](h, ctx)
+                if self.up_attns[i]:
+                    h = self.up_attns[i][ib](h, ctx)
+            if i != 0:
+                h = self.upsamples[i - 1](h, ctx)
+        h, _, _ = group_norm_with_affine(
+            h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)
+        h = _swish(h)
+        return self.conv_out(h, ctx)

@@ -1,0 +1,180 @@
+"""Stable Diffusion runner: inpainting and SDEdit (img2img) with SIGE.
+
+Reference flows (reference: stable-diffusion/runners/inpainting_runner.py,
+sdedit_runner.py, run.py):
+  * inpainting: full-mode encode of the init image, UNet sparse per step
+    with latent blend ``q_sample(x0)*keep + img*edit``, decoder primed by
+    a full decode of the init latent then sparse decode of the samples;
+  * sdedit (img2img): twin latents (init/edited) through the sparse
+    encoder, DDIM stochastic encode at strength * steps, twin-trajectory
+    decode, decoder masks re-dilated by 40 before the sparse decode.
+
+Text conditioning is pluggable: pass precomputed (uc, c) embedding arrays
+[B, seq, context_dim] (e.g. from any CLIP text encoder); the harness does
+not ship CLIP weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.masks import compute_difference_mask, dilate_mask, downsample_mask
+from ..models.sd import (
+    SDUNetConfig,
+    SDVAEConfig,
+    SIGEDecoder,
+    SIGEEncoder,
+    SIGESDUNet,
+)
+from ..nn import SIGEModel
+from ..samplers.sd_ddim import SDDDIMSampler
+
+
+@dataclasses.dataclass(frozen=True)
+class SDRunConfig:
+    ddim_steps: int = 50
+    guidance_scale: float = 7.5
+    eta: float = 0.0
+    scale_factor: float = 0.18215
+    strength: float = 0.8          # img2img noise strength
+    mask_eps: float = 2e-2
+    mask_dilate_radius: int = 5
+    decoder_dilate_radius: int = 40  # reference: sdedit_runner.py:100
+
+
+class SDRunner:
+    def __init__(self, unet_cfg: SDUNetConfig = SDUNetConfig(),
+                 vae_cfg: SDVAEConfig = SDVAEConfig(),
+                 run_cfg: SDRunConfig = SDRunConfig(),
+                 params: Optional[Dict] = None, seed: int = 0):
+        self.unet_cfg, self.vae_cfg, self.run_cfg = unet_cfg, vae_cfg, run_cfg
+        self.unet = SIGEModel(SIGESDUNet(cfg=unet_cfg))
+        self.encoder = SIGEModel(SIGEEncoder(cfg=vae_cfg))
+        self.decoder = SIGEModel(SIGEDecoder(cfg=vae_cfg))
+        self.sampler = SDDDIMSampler(
+            num_steps=run_cfg.ddim_steps, eta=run_cfg.eta,
+            guidance_scale=run_cfg.guidance_scale)
+        R = vae_cfg.resolution
+        f = 2 ** (len(vae_cfg.ch_mult) - 1)
+        self.latent_res = R // f
+        if params is not None:
+            self.unet.params = params.get("unet")
+            self.encoder.params = params.get("encoder")
+            self.decoder.params = params.get("decoder")
+        else:
+            img = jnp.zeros((1, R, R, vae_cfg.in_channels), jnp.float32)
+            z = jnp.zeros((1, self.latent_res, self.latent_res,
+                           unet_cfg.in_channels), jnp.float32)
+            t = jnp.zeros((1,), jnp.float32)
+            c = jnp.zeros((1, 77, unet_cfg.context_dim), jnp.float32)
+            self.unet.init(jax.random.key(seed), z, t, c)
+            self.encoder.init(jax.random.key(seed + 1), img)
+            self.decoder.init(jax.random.key(seed + 2), z)
+
+    # ------------------------------------------------------------------
+    def encode(self, img: jnp.ndarray, mode: str = "full") -> jnp.ndarray:
+        """Image [1, R, R, 3] in [-1, 1] -> scaled latent mode
+        (deterministic: uses the posterior mean)."""
+        if mode == "full":
+            moments = self.encoder.full(img)
+        else:
+            moments = self.encoder.sparse(img)
+        mean = moments[..., : self.vae_cfg.z_channels]
+        return mean * self.run_cfg.scale_factor
+
+    def _default_contexts(self, uc, c):
+        if c is None:
+            c = jnp.zeros((1, 77, self.unet_cfg.context_dim), jnp.float32)
+        if uc is None and self.run_cfg.guidance_scale != 1.0:
+            uc = jnp.zeros_like(c)
+        return uc, c
+
+    # ------------------------------------------------------------------
+    def inpaint(self, init_img: np.ndarray, mask: np.ndarray,
+                uc=None, c=None, seed: int = 0) -> np.ndarray:
+        """Reference: inpainting_runner.py:27-77. ``mask`` is the edit
+        region at image resolution; returns the image in [-1, 1]."""
+        rc = self.run_cfg
+        img = jnp.asarray(init_img, jnp.float32).reshape(
+            1, self.vae_cfg.resolution, self.vae_cfg.resolution, -1)
+        init_latent = self.encode(img)
+        uc, c = self._default_contexts(uc, c)
+
+        masks = downsample_mask(np.asarray(mask, bool), min_res=8, dilation=1)
+        lres = self.latent_res
+        blend = 1.0 - jnp.asarray(
+            masks[(lres, lres)], jnp.float32)[None, :, :, None]
+
+        # prime UNet caches/meta + plan
+        key = jax.random.key(seed)
+        key, kx = jax.random.split(key)
+        x_T = jax.random.normal(kx, init_latent.shape, init_latent.dtype)
+        t0 = jnp.zeros((init_latent.shape[0] * (2 if uc is not None else 1),),
+                       jnp.float32)
+        full_in = jnp.concatenate([init_latent] * (2 if uc is not None else 1))
+        ctx_in = jnp.concatenate([uc, c]) if uc is not None else c
+        self.unet.full(full_in, t0, ctx_in)
+        self.unet.set_masks(masks)
+
+        samples, cache = self.sampler.inpaint_sige(
+            self.unet.module, self.unet.params, self.unet.plan,
+            self.unet.cache, x_T, init_latent, blend, uc, c, key,
+            total_steps=rc.ddim_steps)
+        self.unet.cache = cache
+
+        # decode: prime with full decode of init latent, then sparse decode
+        self.decoder.full(init_latent / rc.scale_factor)
+        self.decoder.set_masks(masks)
+        out = self.decoder.sparse(samples / rc.scale_factor)
+        return np.asarray(out[0])
+
+    # ------------------------------------------------------------------
+    def sdedit(self, init_img: np.ndarray, edited_img: np.ndarray,
+               uc=None, c=None, seed: int = 0) -> np.ndarray:
+        """Reference: sdedit_runner.py + ddim.py:345-393."""
+        rc = self.run_cfg
+        R = self.vae_cfg.resolution
+        x0 = jnp.asarray(init_img, jnp.float32).reshape(1, R, R, -1)
+        x1 = jnp.asarray(edited_img, jnp.float32).reshape(1, R, R, -1)
+        uc, c = self._default_contexts(uc, c)
+
+        diff = compute_difference_mask(np.asarray(x0[0]), np.asarray(x1[0]),
+                                       eps=rc.mask_eps)
+        diff = dilate_mask(diff, rc.mask_dilate_radius)
+        masks = downsample_mask(diff, min_res=8, dilation=1)
+
+        # sparse encode of the edited image over init-image caches
+        init_latent = self.encode(x0)
+        self.encoder.set_masks(masks)
+        edited_latent = self.encode(x1, mode="sparse")
+
+        t_enc = int(rc.strength * rc.ddim_steps)
+        key = jax.random.key(seed)
+        noise = jax.random.normal(key, edited_latent.shape, edited_latent.dtype)
+        z_init = self.sampler.stochastic_encode(init_latent, t_enc - 1, noise)
+        z_edit = self.sampler.stochastic_encode(edited_latent, t_enc - 1, noise)
+
+        # prime UNet with one full pass + plan at latent resolutions
+        t0 = jnp.zeros((z_init.shape[0] * (2 if uc is not None else 1),), jnp.float32)
+        full_in = jnp.concatenate([z_init] * (2 if uc is not None else 1))
+        ctx_in = jnp.concatenate([uc, c]) if uc is not None else c
+        self.unet.full(full_in, t0, ctx_in)
+        self.unet.set_masks(masks)
+
+        s_init, s_edit, cache = self.sampler.img2img_decode_sige(
+            self.unet.module, self.unet.params, self.unet.plan,
+            self.unet.cache, z_init, z_edit, uc, c, t_start=t_enc)
+        self.unet.cache = cache
+
+        # decoder: mask re-dilated by 40 at image res, pyramid to min 4
+        dec_mask = dilate_mask(diff, rc.decoder_dilate_radius)
+        dec_masks = downsample_mask(dec_mask, min_res=(4, 4), dilation=0)
+        self.decoder.full(s_init / rc.scale_factor)
+        self.decoder.set_masks(dec_masks)
+        out = self.decoder.sparse(s_edit / rc.scale_factor)
+        return np.asarray(out[0])
