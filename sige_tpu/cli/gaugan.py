@@ -1,0 +1,125 @@
+"""GauGAN suite CLI (reference: gaugan/test.py).
+
+  python -m sige_tpu.cli.gaugan --netG sige_fused_spade --mode profile --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="SIGE-TPU GauGAN benchmarks")
+    p.add_argument("--netG", type=str, default="sige_fused_spade",
+                   choices=("sige_fused_spade", "fused_spade",
+                            "sige_fused_sub_mobile_spade",
+                            "fused_sub_mobile_spade"))
+    p.add_argument("--mode", choices=("generate", "profile"), default="generate")
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--input_nc", type=int, default=35)
+    p.add_argument("--num_upsampling_layers", type=str, default="more")
+    p.add_argument("--config_str", type=str, default=None,
+                   help="sub-mobile channel config, e.g. 32_32_32_48_32_24_24_32")
+    p.add_argument("--main_block_size", type=int, default=6)
+    p.add_argument("--shortcut_block_size", type=int, default=4)
+    p.add_argument("--num_sparse_layers", type=int, default=5)
+    p.add_argument("--mask_dilate_radius", type=int, default=1)
+    p.add_argument("--downsample_dilate_radius", type=int, default=2)
+    p.add_argument("--data_root", type=str, default="database/cityscapes-edit")
+    p.add_argument("--crop_size", type=int, default=512)
+    p.add_argument("--aspect_ratio", type=float, default=2.0)
+    p.add_argument("--no_instance", action="store_true")
+    p.add_argument("--no_symmetric_editing", action="store_true")
+    p.add_argument("--image_ids", type=int, nargs="+", default=None)
+    p.add_argument("--save_dir", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--warmup_times", type=int, default=20)
+    p.add_argument("--test_times", type=int, default=100)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from ..models.gaugan import (
+        SIGEFusedSPADEGenerator,
+        SIGESubMobileSPADEGenerator,
+        SPADEGenConfig,
+        decode_config,
+    )
+    from ..nn import SIGEModel
+    from ..runners.gaugan_runner import GauGANRunConfig, GauGANRunner
+
+    semantic_nc = args.input_nc + (0 if args.no_instance else 1)
+    dense = not args.netG.startswith("sige")
+    model_cfg = SPADEGenConfig(
+        ngf=args.ngf, semantic_nc=semantic_nc, crop_size=args.crop_size,
+        aspect_ratio=args.aspect_ratio,
+        num_upsampling_layers=args.num_upsampling_layers,
+        main_block_size=None if dense else args.main_block_size,
+        shortcut_block_size=None if dense else args.shortcut_block_size,
+        num_sparse_layers=0 if dense else args.num_sparse_layers,
+    )
+    run_cfg = GauGANRunConfig(
+        input_nc=args.input_nc, use_instance=not args.no_instance,
+        mask_dilate_radius=args.mask_dilate_radius,
+        downsample_dilate_radius=args.downsample_dilate_radius,
+    )
+    runner = GauGANRunner(model_cfg, run_cfg, seed=args.seed)
+    if "sub_mobile" in args.netG:
+        assert args.config_str, "--config_str required for sub-mobile nets"
+        module = SIGESubMobileSPADEGenerator(
+            cfg=model_cfg, channels=tuple(decode_config(args.config_str)))
+        runner.module = module
+        runner.model = SIGEModel(module)
+        import jax, jax.numpy as jnp
+        h = round(args.crop_size / args.aspect_ratio)
+        runner.model.init(jax.random.key(args.seed),
+                          jnp.zeros((1, h, args.crop_size, semantic_nc)))
+
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        H = round(args.crop_size / args.aspect_ratio)
+        l0 = rng.integers(0, args.input_nc - 1, (H, args.crop_size))
+        l1 = l0.copy()
+        side = max(4, int(round((0.012 * H * args.crop_size) ** 0.5)))
+        l1[H // 3 : H // 3 + side, args.crop_size // 3 : args.crop_size // 3 + side] = args.input_nc - 1
+        items = [{"name": "synthetic", "original_label": l0,
+                  "original_instance": l0, "edited_label": l1,
+                  "edited_instance": l1}]
+    else:
+        from ..data import CityscapesEditDataset
+
+        items = list(CityscapesEditDataset(
+            args.data_root, symmetric=not args.no_symmetric_editing,
+            image_ids=args.image_ids))
+
+    for item in items:
+        s0 = runner.preprocess_input(item["original_label"], item["original_instance"])
+        s1 = runner.preprocess_input(item["edited_label"], item["edited_instance"])
+        if args.mode == "profile":
+            stats = runner.profile(s0, s1, warmup=args.warmup_times,
+                                   iters=args.test_times,
+                                   mode="dense" if dense else "sparse")
+            print(f"Image {item['name']}: "
+                  f"Sparsity {100 * stats['edit_ratio']:.2f}%    "
+                  f"MACs {stats['macs_g']:.3f}G    "
+                  f"Avg Time {stats['latency_ms']:.3f}ms")
+        else:
+            out = runner.generate(s0, s1)
+            if args.save_dir:
+                from ..data import save_image
+
+                path = os.path.join(args.save_dir, f"{item['name']}.png")
+                save_image(path, (out + 1.0) / 2.0)
+                print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Stable Diffusion suite CLI (reference: stable-diffusion/run.py).
+
+  python -m sige_tpu.cli.sd --task sdedit --init_img a.png --edited_img b.png
+  python -m sige_tpu.cli.sd --task inpainting --init_img a.png --mask_path m.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="SIGE-TPU Stable Diffusion")
+    p.add_argument("--task", choices=("inpainting", "sdedit"), required=True)
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--init_img", type=str, default=None)
+    p.add_argument("--edited_img", type=str, default=None)
+    p.add_argument("--mask_path", type=str, default=None)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--scale", type=float, default=7.5)
+    p.add_argument("--strength", type=float, default=0.8)
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--restore_from", type=str, default=None,
+                   help="path to an sd-v1-4-style checkpoint to convert")
+    p.add_argument("--embeddings", type=str, default=None,
+                   help=".npz with 'uc' and 'c' text embeddings "
+                        "[1, 77, 768] (no CLIP weights ship here)")
+    p.add_argument("--save_dir", type=str, default="results/sd")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from ..data import load_image, save_image
+    from ..models.sd import SDUNetConfig, SDVAEConfig
+    from ..runners.sd_runner import SDRunConfig, SDRunner
+
+    vae_cfg = SDVAEConfig(resolution=args.H)
+    unet_cfg = SDUNetConfig()
+    run_cfg = SDRunConfig(ddim_steps=args.ddim_steps,
+                          guidance_scale=args.scale, strength=args.strength)
+    runner = SDRunner(unet_cfg, vae_cfg, run_cfg, seed=args.seed)
+
+    uc = c = None
+    if args.embeddings:
+        z = np.load(args.embeddings)
+        uc, c = jnp.asarray(z["uc"]), jnp.asarray(z["c"])
+
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        init = rng.random((args.H, args.W, 3)).astype(np.float32) * 2 - 1
+        edited = init.copy()
+        edited[args.H // 3 : args.H // 3 + 50, args.W // 3 : args.W // 3 + 50] = 0.5
+        mask = np.zeros((args.H, args.W), bool)
+        mask[args.H // 3 : args.H // 3 + 50, args.W // 3 : args.W // 3 + 50] = True
+    else:
+        init = load_image(args.init_img, size=(args.H, args.W)) * 2 - 1
+        edited = (load_image(args.edited_img, size=(args.H, args.W)) * 2 - 1
+                  if args.edited_img else None)
+        mask = np.load(args.mask_path) if args.mask_path else None
+
+    if args.task == "inpainting":
+        assert mask is not None, "inpainting needs --mask_path"
+        out = runner.inpaint(init, mask, uc=uc, c=c, seed=args.seed)
+    else:
+        assert edited is not None, "sdedit needs --edited_img"
+        out = runner.sdedit(init, edited, uc=uc, c=c, seed=args.seed)
+
+    path = os.path.join(args.save_dir, f"{args.task}.png")
+    save_image(path, (out + 1.0) / 2.0)
+    print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

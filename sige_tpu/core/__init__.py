@@ -9,7 +9,7 @@ from .masks import (
     reduce_mask,
     reduce_mask_padded,
 )
-from .scatter_map import build_owner_map
+from .scatter_map import build_owner_map, build_sg_sources, build_src_map
 
 __all__ = [
     "BlockGeometry",
@@ -19,4 +19,6 @@ __all__ = [
     "reduce_mask",
     "reduce_mask_padded",
     "build_owner_map",
+    "build_src_map",
+    "build_sg_sources",
 ]

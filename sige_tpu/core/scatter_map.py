@@ -65,3 +65,68 @@ def build_owner_map(
     tile_of = np.broadcast_to(ib[:, None, None], (n, R, S))[valid]
     np.maximum.at(owner.reshape(-1), flat, tile_of)
     return owner
+
+
+def build_src_map(
+    indices: np.ndarray,
+    count: Optional[int],
+    geom: BlockGeometry,
+    out_hw: Tuple[int, int],
+) -> np.ndarray:
+    """Per-pixel flat *tile-pixel* source index, the device-ready form of
+    the ownership map.
+
+    ``src[h, w] = (owner * R + ih) * S + iw`` for covered pixels, -1
+    otherwise. All index arithmetic happens here on host — on TPU the
+    scatter is then ONE large-table ``take`` plus a select; computing
+    per-pixel tile origins on device requires tiny-table gathers that XLA
+    lowers pathologically (~0.6 ms per scatter at 256^2)."""
+    H, W = out_hw
+    owner = build_owner_map(indices, count, geom, out_hw)
+    R, S = geom.out_tile_size
+    sh, sw = geom.conv_stride
+    oh, ow = geom.offset
+    oc = np.maximum(owner, 0).astype(np.int64)
+    idx = np.asarray(indices, np.int64)
+    bi_h = (oh + idx[oc, 0]) // sh
+    bi_w = (ow + idx[oc, 1]) // sw
+    row = np.arange(H, dtype=np.int64)[:, None]
+    col = np.arange(W, dtype=np.int64)[None, :]
+    ih = np.clip(row - bi_h, 0, R - 1)
+    iw = np.clip(col - bi_w, 0, S - 1)
+    src = (oc * R + ih) * S + iw
+    return np.where(owner >= 0, src, -1).astype(np.int32)
+
+
+def build_sg_sources(
+    indices: np.ndarray,
+    count: Optional[int],
+    geom: BlockGeometry,
+    out_hw: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-precomputed lookups for the fused scatter->re-gather.
+
+    For each re-gathered tile pixel (K * bh * bw, same index buffer as the
+    source tiles — reference: sige/nn/scatter_gather.py):
+      * ``sg_src``: flat tile-pixel source index, or -1 to read the cache,
+        or -2 for out-of-bounds/dead (exact zero);
+      * ``sg_flat``: flat cache pixel index (clamped).
+    """
+    H, W = out_hw
+    src_map = build_src_map(indices, count, geom, out_hw)
+    bh, bw = geom.block_size
+    K = np.asarray(indices).shape[0]
+    n = K if count is None else int(count)
+    idx = np.asarray(indices, np.int64)
+    rows = idx[:, 0:1, None] + np.arange(bh, dtype=np.int64)[None, :, None]
+    cols = idx[:, 1:2, None].transpose(0, 2, 1) + np.arange(bw, dtype=np.int64)[None, None, :]
+    rows = np.broadcast_to(rows, (K, bh, bw))
+    cols = np.broadcast_to(cols, (K, bh, bw))
+    live = (np.arange(K) < n)[:, None, None]
+    inb = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W) & live
+    rc = np.clip(rows, 0, H - 1)
+    cc = np.clip(cols, 0, W - 1)
+    flat = (rc * W + cc).reshape(-1).astype(np.int32)
+    src = src_map.reshape(-1)[flat]
+    sg_src = np.where(inb.reshape(-1), src, -2).astype(np.int32)
+    return sg_src, flat

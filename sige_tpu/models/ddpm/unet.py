@@ -138,8 +138,9 @@ class _FoldedGroupNorm(nn.Module):
                 _slotted_cache(self, "shift", shift, self.cache_slots, ctx.cache_id)
             return xn, None, None
         if ctx.mode == "sparse":
-            scale = self.get_variable("cache", "scale")[ctx.cache_id]
-            shift = self.get_variable("cache", "shift")[ctx.cache_id]
+            from ...nn.module import _read_slot
+            scale = _read_slot(self.get_variable("cache", "scale"), ctx.cache_id)
+            shift = _read_slot(self.get_variable("cache", "shift"), ctx.cache_id)
             return None, scale, shift
         raise ValueError(ctx.mode)
 

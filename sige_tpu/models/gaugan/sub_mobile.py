@@ -70,8 +70,9 @@ class SIGESeparableConv2d(SIGEModule):
                 _slotted_cache(self, "in_scale", scale, self.cache_slots, ctx.cache_id)
                 _slotted_cache(self, "in_shift", shift, self.cache_slots, ctx.cache_id)
         else:
-            scale = self.get_variable("cache", "in_scale")[ctx.cache_id]
-            shift = self.get_variable("cache", "in_shift")[ctx.cache_id]
+            from ...nn.module import _read_slot
+            scale = _read_slot(self.get_variable("cache", "in_scale"), ctx.cache_id)
+            shift = _read_slot(self.get_variable("cache", "in_shift"), ctx.cache_id)
             h = h * scale[:, None, None, :] + shift[:, None, None, :]
         return pw(h, ctx)
 

@@ -186,8 +186,9 @@ class SIGECrossAttention(SIGEModule):
                 _slotted_cache(self, "k", k, self.cache_slots, ctx.cache_id)
                 _slotted_cache(self, "v", v, self.cache_slots, ctx.cache_id)
         else:
-            k = self.get_variable("cache", "k")[ctx.cache_id]
-            v = self.get_variable("cache", "v")[ctx.cache_id]
+            from ...nn.module import _read_slot
+            k = _read_slot(self.get_variable("cache", "k"), ctx.cache_id)
+            v = _read_slot(self.get_variable("cache", "v"), ctx.cache_id)
 
         B, N, _ = q.shape
         M = k.shape[1]

@@ -146,8 +146,11 @@ class Gather(SIGEModule):
         raise ValueError(f"unknown mode {ctx.mode}")
 
     # --- services for paired scatters (called via module sharing) --------
-    def request_owner(self, res: IntPair):
-        self.sow("meta", "owner_res", jnp.array(res, jnp.int32))
+    def request_src_map(self, res: IntPair):
+        self.sow("meta", "scatter_res", jnp.array(res, jnp.int32))
+
+    def request_sg(self, res: IntPair):
+        self.sow("meta", "sg_res", jnp.array(res, jnp.int32))
 
     def read_plan(self):
         return (
@@ -155,8 +158,14 @@ class Gather(SIGEModule):
             self.get_variable("sige", "count"),
         )
 
-    def read_owner(self, res: IntPair):
-        return self.get_variable("sige", f"owner_{res[0]}x{res[1]}")
+    def read_src_map(self, res: IntPair):
+        return self.get_variable("sige", f"srcmap_{res[0]}x{res[1]}")
+
+    def read_sg(self, res: IntPair):
+        return (
+            self.get_variable("sige", f"sgsrc_{res[0]}x{res[1]}"),
+            self.get_variable("sige", f"sgflat_{res[0]}x{res[1]}"),
+        )
 
 
 def _slotted_cache(mod: nn.Module, name: str, value: jnp.ndarray, slots: int,
@@ -169,6 +178,14 @@ def _slotted_cache(mod: nn.Module, name: str, value: jnp.ndarray, slots: int,
     )
     v.value = v.value.at[cache_id].set(value)
     return v.value
+
+
+def _read_slot(cache: jnp.ndarray, cache_id):
+    """cache[cache_id] with a static index when there is only one slot —
+    a traced index forces a dynamic-slice copy of the whole map."""
+    if cache.shape[0] == 1:
+        return cache[0]
+    return cache[cache_id]
 
 
 class Scatter(SIGEModule):
@@ -184,15 +201,14 @@ class Scatter(SIGEModule):
             return x if residual is None else x + residual
         if ctx.mode == "full":
             out = x if residual is None else x + residual
-            self.gather.request_owner(out.shape[1:3])
+            self.gather.request_src_map(out.shape[1:3])
             _slotted_cache(self, "original", out, self.cache_slots, ctx.cache_id)
             return out
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
-            y = cache[ctx.cache_id]
-            idx, _ = self.gather.read_plan()
-            owner = self.gather.read_owner(y.shape[1:3])
-            out = scatter_tiles(x, y, owner, idx, self.gather.geom, residual)
+            y = _read_slot(cache, ctx.cache_id)
+            src_map = self.gather.read_src_map(y.shape[1:3])
+            out = scatter_tiles(x, y, src_map, self.gather.geom, residual)
             if ctx.sparse_update and self.is_mutable_collection("cache"):
                 self.put_variable("cache", "original", cache.at[ctx.cache_id].set(out))
             return out
@@ -214,21 +230,22 @@ class ScatterGather(SIGEModule):
         if ctx.mode == "dense":
             return x
         if ctx.mode == "full":
-            self.gather.request_owner(x.shape[1:3])
+            self.gather.request_src_map(x.shape[1:3])
+            self.gather.request_sg(x.shape[1:3])
             _slotted_cache(self, "original", x, self.cache_slots, ctx.cache_id)
             return x
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
-            y = cache[ctx.cache_id]
-            idx, count = self.gather.read_plan()
-            owner = self.gather.read_owner(y.shape[1:3])
+            y = _read_slot(cache, ctx.cache_id)
+            sg_src, sg_flat = self.gather.read_sg(y.shape[1:3])
             geom = self.gather.geom
             out = scatter_gather_tiles(
-                x, y, owner, idx, count, geom,
+                x, y, sg_src, sg_flat, geom,
                 scale, shift, self.activation, self.activation_first,
             )
             if ctx.sparse_update and self.is_mutable_collection("cache"):
-                updated = scatter_tiles(x, y, owner, idx, geom)
+                src_map = self.gather.read_src_map(y.shape[1:3])
+                updated = scatter_tiles(x, y, src_map, geom)
                 self.put_variable("cache", "original", cache.at[ctx.cache_id].set(updated))
             return out
         raise ValueError(f"unknown mode {ctx.mode}")
@@ -248,29 +265,28 @@ class ScatterWithBlockResidual(SIGEModule):
             return x + residual
         if ctx.mode == "full":
             out = x + residual
-            self.main_gather.request_owner(out.shape[1:3])
-            self.shortcut_gather.request_owner(out.shape[1:3])
+            self.main_gather.request_src_map(out.shape[1:3])
+            self.shortcut_gather.request_src_map(out.shape[1:3])
             _slotted_cache(self, "original", out, self.cache_slots, ctx.cache_id)
             _slotted_cache(self, "residual", residual, self.cache_slots, ctx.cache_id)
             return out
         if ctx.mode == "sparse":
             caches = self.get_variable("cache", "original")
             res_caches = self.get_variable("cache", "residual")
-            y0, y1 = caches[ctx.cache_id], res_caches[ctx.cache_id]
+            y0 = _read_slot(caches, ctx.cache_id)
+            y1 = _read_slot(res_caches, ctx.cache_id)
             res = y0.shape[1:3]
-            m_idx, _ = self.main_gather.read_plan()
-            s_idx, _ = self.shortcut_gather.read_plan()
-            m_owner = self.main_gather.read_owner(res)
-            s_owner = self.shortcut_gather.read_owner(res)
+            m_src = self.main_gather.read_src_map(res)
+            s_src = self.shortcut_gather.read_src_map(res)
             out = scatter_with_block_residual(
                 x, y0, residual, y1,
-                m_owner, m_idx, self.main_gather.geom,
-                s_owner, s_idx, self.shortcut_gather.geom,
+                m_src, self.main_gather.geom,
+                s_src, self.shortcut_gather.geom,
             )
             if ctx.sparse_update and self.is_mutable_collection("cache"):
                 self.put_variable("cache", "original", caches.at[ctx.cache_id].set(out))
                 new_res = scatter_tiles(
-                    residual, y1, s_owner, s_idx, self.shortcut_gather.geom)
+                    residual, y1, s_src, self.shortcut_gather.geom)
                 self.put_variable("cache", "residual", res_caches.at[ctx.cache_id].set(new_res))
             return out
         raise ValueError(f"unknown mode {ctx.mode}")

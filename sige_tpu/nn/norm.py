@@ -32,11 +32,13 @@ def group_norm_with_affine(
     """
     B, H, W, C = x.shape
     gs = C // num_groups
-    xg = x.reshape(B, H, W, num_groups, gs)
+    in_dtype = x.dtype
+    # statistics always in fp32 (bf16 activations would lose the mean)
+    xg = x.astype(jnp.float32).reshape(B, H, W, num_groups, gs)
     mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)          # [B,1,1,G,1]
     var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
     std = jnp.sqrt(var + eps)
-    xn = ((xg - mean) / std).reshape(B, H, W, C)
+    xn = ((xg - mean) / std).reshape(B, H, W, C).astype(in_dtype)
     scale = (1.0 / std)[:, 0, 0, :, 0]                          # [B, G]
     shift = (-mean / std)[:, 0, 0, :, 0]
     scale = jnp.repeat(scale, gs, axis=-1)                      # [B, C]

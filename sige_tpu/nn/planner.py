@@ -24,7 +24,7 @@ import numpy as np
 
 from ..core.geometry import BlockGeometry
 from ..core.masks import reduce_mask_padded
-from ..core.scatter_map import build_owner_map
+from ..core.scatter_map import build_sg_sources, build_src_map
 
 IntPair = Tuple[int, int]
 
@@ -98,16 +98,22 @@ def build_plan(
                 "indices": jnp.asarray(indices),
                 "count": jnp.int32(count),
             }
-            owner_reses = set()
-            for arr in node.get("owner_res", ()):  # sown tuple
-                owner_reses.add(tuple(int(i) for i in np.asarray(arr)))
-            for ores in sorted(owner_reses):
-                okey = ("owner", res, geom, cap, ores)
+            def _reses(key):
+                return sorted({tuple(int(i) for i in np.asarray(a))
+                               for a in node.get(key, ())})
+            for ores in _reses("scatter_res"):
+                okey = ("srcmap", res, geom, cap, ores)
                 if okey not in _memo:
                     _memo[okey] = jnp.asarray(
-                        build_owner_map(indices, count, geom, ores)
-                    )
-                entry[f"owner_{ores[0]}x{ores[1]}"] = _memo[okey]
+                        build_src_map(indices, count, geom, ores))
+                entry[f"srcmap_{ores[0]}x{ores[1]}"] = _memo[okey]
+            for ores in _reses("sg_res"):
+                okey = ("sg", res, geom, cap, ores)
+                if okey not in _memo:
+                    ss, sf = build_sg_sources(indices, count, geom, ores)
+                    _memo[okey] = (jnp.asarray(ss), jnp.asarray(sf))
+                entry[f"sgsrc_{ores[0]}x{ores[1]}"] = _memo[okey][0]
+                entry[f"sgflat_{ores[0]}x{ores[1]}"] = _memo[okey][1]
             plan[name] = entry
         elif isinstance(node, Mapping):
             sub = build_plan(node, masks, bucket_min, capacities,

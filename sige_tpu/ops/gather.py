@@ -121,7 +121,11 @@ def gather_tiles(
 
     rc = jnp.clip(rows, 0, H - 1)
     cc = jnp.clip(cols, 0, W - 1)
-    tiles = x[:, rc, cc, :]  # [B, K, bh, bw, C]
+    # Single-axis flat take: XLA TPU lowers one-dimensional gathers far
+    # better than multi-index advanced indexing.
+    flat = (rc * W + cc).reshape(-1)  # [K*bh*bw]
+    tiles = jnp.take(x.reshape(B, H * W, C), flat, axis=1)
+    tiles = tiles.reshape(B, K, bh, bw, C)
 
     scale = _broadcast_param(scale, x)
     shift = _broadcast_param(shift, x)
@@ -131,7 +135,9 @@ def gather_tiles(
             return None
         if p.shape[1] == 1 and p.shape[2] == 1:
             return p[:, None]  # [B', 1, 1, 1, C'] broadcasts over tiles
-        return p[:, rc, cc, :]
+        return jnp.take(
+            p.reshape(p.shape[0], -1, p.shape[3]), flat, axis=1
+        ).reshape(p.shape[0], K, bh, bw, p.shape[3])
 
     tiles = apply_epilogue(
         tiles, gather_param(scale), gather_param(shift), activation, activation_first

@@ -1,12 +1,20 @@
-"""Scatter ops, reformulated as deterministic gathers through ownership maps.
+"""Scatter ops, reformulated as deterministic gathers through host-planned
+source-index maps.
 
 The reference engine writes conv-output tiles into a clone of the cached
 full-resolution activation, racing benignly on tile overlap
 (reference: sige/cpu/scatter.cpp, sige/cuda/scatter_kernel.cu). On TPU we
-precompute — once per mask, host-side — an int32 ``owner[H, W]`` map
-(:func:`sige_tpu.core.scatter_map.build_owner_map`) and every scatter
-becomes "each output pixel reads from its owning tile, else the cache":
-a single parallel gather, deterministic, and fusable by XLA.
+precompute — once per mask, host-side — a per-pixel flat source index into
+the tile-pixel axis (:func:`sige_tpu.core.scatter_map.build_src_map`), and
+every scatter becomes "each output pixel reads from its source tile pixel,
+else the cache": ONE large-table ``jnp.take`` plus a select, fully
+deterministic (source = highest covering tile, the reference's sequential
+last-writer-wins).
+
+Performance note: all device-side index *computation* is eliminated —
+earlier formulations computed per-pixel tile origins with tiny-table
+gathers (``take(indices[:, 0], owner)``), which XLA TPU lowers to ~0.6 ms
+scalar loops per scatter at 256^2.
 
 Ops:
   * :func:`scatter_tiles` — plain scatter into a cached map, optional
@@ -31,43 +39,14 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import BlockGeometry
-from .gather import _broadcast_param, _tile_coords, apply_epilogue
-
-
-def _owner_tile_coords(
-    owner: jnp.ndarray,
-    indices: jnp.ndarray,
-    geom: BlockGeometry,
-):
-    """For each output pixel, its owning tile id (clamped) plus intra-tile
-    coordinates, and the coverage mask. Shapes: owner [..., ], returns
-    (oc, ih, iw, covered) with owner's shape."""
-    R, S = geom.out_tile_size
-    sh, sw = geom.conv_stride
-    oh, ow = geom.offset
-
-    covered = owner >= 0
-    oc = jnp.maximum(owner, 0)
-    # Tile origin in conv-output coordinates (reference: sige/cpu/scatter.cpp:20-21).
-    bi_h = (oh + indices[oc, 0].astype(jnp.int32)) // sh
-    bi_w = (ow + indices[oc, 1].astype(jnp.int32)) // sw
-    if owner.ndim == 2:
-        H, W = owner.shape
-        row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    else:
-        raise ValueError("owner map must be 2-D")
-    ih = jnp.clip(row - bi_h, 0, R - 1)
-    iw = jnp.clip(col - bi_w, 0, S - 1)
-    return oc, ih, iw, covered
+from .gather import _broadcast_param, apply_epilogue
 
 
 @partial(jax.jit, static_argnames=("geom",))
 def scatter_tiles(
     tiles: jnp.ndarray,
     cache: jnp.ndarray,
-    owner: jnp.ndarray,
-    indices: jnp.ndarray,
+    src_map: jnp.ndarray,
     geom: BlockGeometry,
     residual: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -76,9 +55,9 @@ def scatter_tiles(
     Args:
       tiles: [B * K, R, S, C] conv-output tile batch.
       cache: [B, H, W, C] cached full-map activation (original image).
-      owner: [H, W] int32 ownership map for these indices/geometry.
-      indices: [K, 2] int32 padded tile top-lefts (input coordinates).
-      geom: the paired gather's geometry.
+      src_map: [H, W] int32 flat tile-pixel source index (-1 = keep cache),
+        from :func:`~sige_tpu.core.scatter_map.build_src_map`.
+      geom: the paired gather's geometry (tile extent R, S).
       residual: optional [B, H, W, C]-broadcastable residual, added at
         covered pixels only (uncovered pixels keep the cache value, which
         already includes the original residual).
@@ -86,15 +65,16 @@ def scatter_tiles(
     Returns: [B, H, W, C] updated full map.
     """
     B, H, W, C = cache.shape
-    K = indices.shape[0]
     R, S = geom.out_tile_size
-    t = tiles.reshape(B, K, R, S, C)
+    K = tiles.shape[0] // B
+    t = tiles.reshape(B, K * R * S, C)
 
-    oc, ih, iw, covered = _owner_tile_coords(owner, indices, geom)
-    fresh = t[:, oc, ih, iw, :]  # [B, H, W, C]
+    src = src_map.reshape(-1)
+    fresh = jnp.take(t, jnp.maximum(src, 0), axis=1).reshape(B, H, W, C)
     if residual is not None:
         fresh = fresh + _broadcast_param(residual, cache)
-    return jnp.where(covered[None, :, :, None], fresh, cache)
+    covered = (src_map >= 0)[None, :, :, None]
+    return jnp.where(covered, fresh, cache)
 
 
 @partial(jax.jit, static_argnames=("geom",))
@@ -102,19 +82,19 @@ def calibrate_residual(
     out: jnp.ndarray,
     tiles: jnp.ndarray,
     cached: jnp.ndarray,
-    owner: jnp.ndarray,
-    indices: jnp.ndarray,
+    src_map: jnp.ndarray,
     geom: BlockGeometry,
 ) -> jnp.ndarray:
     """``out += tile_value - cached`` over the covered pixels of a second
     tile set (reference: sige/cpu/scatter.cpp:43-76)."""
     B, H, W, C = out.shape
-    K = indices.shape[0]
     R, S = geom.out_tile_size
-    t = tiles.reshape(B, K, R, S, C)
-    oc, ih, iw, covered = _owner_tile_coords(owner, indices, geom)
-    fresh = t[:, oc, ih, iw, :]
-    delta = jnp.where(covered[None, :, :, None], fresh - cached, jnp.zeros((), out.dtype))
+    K = tiles.shape[0] // B
+    t = tiles.reshape(B, K * R * S, C)
+    src = src_map.reshape(-1)
+    fresh = jnp.take(t, jnp.maximum(src, 0), axis=1).reshape(B, H, W, C)
+    covered = (src_map >= 0)[None, :, :, None]
+    delta = jnp.where(covered, fresh - cached, jnp.zeros((), out.dtype))
     return out + delta
 
 
@@ -124,11 +104,9 @@ def scatter_with_block_residual(
     cache_out: jnp.ndarray,
     shortcut_tiles: jnp.ndarray,
     cache_residual: jnp.ndarray,
-    main_owner: jnp.ndarray,
-    main_indices: jnp.ndarray,
+    main_src_map: jnp.ndarray,
     main_geom: BlockGeometry,
-    shortcut_owner: jnp.ndarray,
-    shortcut_indices: jnp.ndarray,
+    shortcut_src_map: jnp.ndarray,
     shortcut_geom: BlockGeometry,
 ) -> jnp.ndarray:
     """Residual join when main and shortcut paths were gathered with
@@ -139,14 +117,27 @@ def scatter_with_block_residual(
     pixels get fresh-main + cached-shortcut; shortcut-covered pixels are
     then corrected by (fresh-shortcut - cached-shortcut).
     """
-    out = scatter_tiles(
-        main_tiles, cache_out, main_owner, main_indices, main_geom,
-        residual=cache_residual,
-    )
-    return calibrate_residual(
-        out, shortcut_tiles, cache_residual, shortcut_owner, shortcut_indices,
-        shortcut_geom,
-    )
+    # Single fused full-map pass (a scatter_tiles + calibrate_residual
+    # composition would stream the 4 full maps twice):
+    #   out = main_cov ? fresh_main + y1 : y0
+    #       + (short_cov ? fresh_short - y1 : 0)
+    B, H, W, C = cache_out.shape
+    Rm, Sm = main_geom.out_tile_size
+    Rs, Ss = shortcut_geom.out_tile_size
+    Km = main_tiles.shape[0] // B
+    Ks = shortcut_tiles.shape[0] // B
+    tm = main_tiles.reshape(B, Km * Rm * Sm, C)
+    ts = shortcut_tiles.reshape(B, Ks * Rs * Ss, C)
+    m_src = main_src_map.reshape(-1)
+    s_src = shortcut_src_map.reshape(-1)
+    fresh_m = jnp.take(tm, jnp.maximum(m_src, 0), axis=1).reshape(B, H, W, C)
+    fresh_s = jnp.take(ts, jnp.maximum(s_src, 0), axis=1).reshape(B, H, W, C)
+    m_cov = (main_src_map >= 0)[None, :, :, None]
+    s_cov = (shortcut_src_map >= 0)[None, :, :, None]
+    out = jnp.where(m_cov, fresh_m + cache_residual, cache_out)
+    delta = jnp.where(s_cov, fresh_s - cache_residual,
+                      jnp.zeros((), out.dtype))
+    return out + delta
 
 
 @partial(
@@ -156,9 +147,8 @@ def scatter_with_block_residual(
 def scatter_gather_tiles(
     tiles: jnp.ndarray,
     cache: jnp.ndarray,
-    owner: jnp.ndarray,
-    indices: jnp.ndarray,
-    count: jnp.ndarray,
+    sg_src: jnp.ndarray,
+    sg_flat: jnp.ndarray,
     geom: BlockGeometry,
     scale: Optional[jnp.ndarray] = None,
     shift: Optional[jnp.ndarray] = None,
@@ -170,41 +160,28 @@ def scatter_gather_tiles(
     Both convs share one Gather (reference wires ScatterGather to the same
     Gather instance; sige/nn/scatter_gather.py), so ``tiles`` (conv1
     outputs) and the re-gathered output blocks use the *same* index buffer.
-    Each re-gathered pixel reads from its owning fresh tile if covered,
-    else from the cached full map, then the folded-norm epilogue applies
-    (reference: sige/cpu/scatter_gather.cpp:5-57).
+    Each re-gathered pixel reads from its source fresh tile pixel
+    (``sg_src >= 0``), from the cached full map (``sg_src == -1``), or is
+    exact zero (``sg_src == -2``: out of bounds / dead tile), then the
+    folded-norm epilogue applies (reference: sige/cpu/scatter_gather.cpp).
+
+    Args:
+      tiles: [B * K, R, S, C] conv1-output tile batch.
+      cache: [B, H, W, C] cached conv1 full map.
+      sg_src / sg_flat: [K * bh * bw] int32 host-planned lookups
+        (:func:`~sige_tpu.core.scatter_map.build_sg_sources`).
 
     Returns: [B * K, bh, bw, C] tile batch feeding conv2.
     """
     B, H, W, C = cache.shape
-    K = indices.shape[0]
     R, S = geom.out_tile_size
     bh, bw = geom.block_size
-    t = tiles.reshape(B, K, R, S, C)
+    K = tiles.shape[0] // B
+    t = tiles.reshape(B, K * R * S, C)
 
-    # Re-gather coordinate grids over the *output* map — identical to the
-    # input-space tile coords because this op only exists between stride-1
-    # convs whose output aligns with the padded input
-    # (reference: sige/cpu/scatter_gather.cpp:24-27 uses raw indices).
-    rows, cols = _tile_coords(indices, bh, bw)  # [K, bh, 1], [K, 1, bw]
-    inb = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
-    live = jnp.arange(K, dtype=jnp.int32) < count
-    inb = inb & live[:, None, None]  # [K, bh, bw]
-    rc = jnp.clip(rows, 0, H - 1)
-    cc = jnp.clip(cols, 0, W - 1)
-
-    o = owner[rc, cc]  # [K, bh, bw]
-    oc, covered = jnp.maximum(o, 0), o >= 0
-    sh, sw = geom.conv_stride
-    oh, ow = geom.offset
-    bi_h = (oh + indices[oc, 0].astype(jnp.int32)) // sh
-    bi_w = (ow + indices[oc, 1].astype(jnp.int32)) // sw
-    ih = jnp.clip(rc - bi_h, 0, R - 1)
-    iw = jnp.clip(cc - bi_w, 0, S - 1)
-
-    fresh = t[:, oc, ih, iw, :]        # [B, K, bh, bw, C]
-    cached = cache[:, rc, cc, :]       # [B, K, bh, bw, C]
-    z = jnp.where(covered[None, :, :, :, None], fresh, cached)
+    fresh = jnp.take(t, jnp.maximum(sg_src, 0), axis=1)          # [B, N, C]
+    cached = jnp.take(cache.reshape(B, H * W, C), sg_flat, axis=1)
+    z = jnp.where((sg_src >= 0)[None, :, None], fresh, cached)
 
     scale = _broadcast_param(scale, cache)
     shift = _broadcast_param(shift, cache)
@@ -213,9 +190,10 @@ def scatter_gather_tiles(
         if p is None:
             return None
         if p.shape[1] == 1 and p.shape[2] == 1:
-            return p[:, None]
-        return p[:, rc, cc, :]
+            return p.reshape(p.shape[0], 1, p.shape[3])
+        return jnp.take(p.reshape(p.shape[0], -1, p.shape[3]), sg_flat, axis=1)
 
-    z = apply_epilogue(z, gather_param(scale), gather_param(shift), activation, activation_first)
-    z = jnp.where(inb[None, :, :, :, None], z, jnp.zeros((), z.dtype))
-    return z.reshape(B * K, bh, bw, C)
+    z = apply_epilogue(z, gather_param(scale), gather_param(shift),
+                       activation, activation_first)
+    z = jnp.where((sg_src >= -1)[None, :, None], z, jnp.zeros((), z.dtype))
+    return z.reshape(B, K, bh, bw, C).reshape(B * K, bh, bw, C)

@@ -163,16 +163,19 @@ class DiffusionRunner:
         variables = {"params": self.model.params, "cache": self.model.cache,
                      "sige": self.model.plan}
 
+        # NOTE: variables must be jit *arguments* — closing over them bakes
+        # hundreds of MB of params into the program as constants, which the
+        # remote-compile service rejects (HTTP 413) or uploads glacially.
         @jax.jit
-        def fwd(x):
-            return self.module.apply(variables, x, t0, ctx=ctx)
+        def fwd(v, x):
+            return self.module.apply(v, x, t0, ctx=ctx)
 
         for _ in range(warmup):
-            y = fwd(x1)
+            y = fwd(variables, x1)
         y.block_until_ready()
         start = time.perf_counter()
         for _ in range(iters):
-            y = fwd(x1)
+            y = fwd(variables, x1)
         y.block_until_ready()
         latency_ms = (time.perf_counter() - start) / iters * 1e3
 

@@ -105,16 +105,17 @@ class GauGANRunner:
         variables = {"params": self.model.params, "cache": self.model.cache,
                      "sige": self.model.plan}
 
+        # variables as jit args (closure constants overflow remote compile)
         @jax.jit
-        def fwd(x):
-            return self.module.apply(variables, x, ctx=ctx)
+        def fwd(v, x):
+            return self.module.apply(v, x, ctx=ctx)
 
         for _ in range(warmup):
-            y = fwd(x1)
+            y = fwd(variables, x1)
         y.block_until_ready()
         start = time.perf_counter()
         for _ in range(iters):
-            y = fwd(x1)
+            y = fwd(variables, x1)
         y.block_until_ready()
         latency_ms = (time.perf_counter() - start) / iters * 1e3
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sige_tpu.core import BlockGeometry, build_owner_map, reduce_mask_padded
+from sige_tpu.core import BlockGeometry, build_sg_sources, build_src_map, reduce_mask_padded
 from sige_tpu.core.masks import dilate_mask
 from sige_tpu.ops import (
     calibrate_residual,
@@ -86,14 +86,12 @@ def test_gather_conv_scatter_equals_dense(rng, block, kernel, stride, pad, B):
 
     geom = BlockGeometry.create(block, kernel, stride, pad)
     idx, count = reduce_mask_padded(mask, geom)
-    owner = build_owner_map(idx, count, geom, y_cache.shape[1:3])
+    src = build_src_map(idx, count, geom, y_cache.shape[1:3])
 
     tiles = gather_tiles(x1, jnp.asarray(idx), jnp.int32(count), geom)
     out_tiles = tile_conv2d(tiles, w, b, stride=stride)
     assert out_tiles.shape[1:3] == geom.out_tile_size
-    y_sparse = scatter_tiles(
-        out_tiles, y_cache, jnp.asarray(owner), jnp.asarray(idx), geom
-    )
+    y_sparse = scatter_tiles(out_tiles, y_cache, jnp.asarray(src), geom)
     np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full), atol=1e-4)
 
 
@@ -125,16 +123,18 @@ def test_scatter_gather_resblock_equals_dense(rng):
     # (reference: diffusion/runner.py mask_dilate_radius).
     idx, count = reduce_mask_padded(dilate_mask(mask, 2), geom)
     idx_j, count_j = jnp.asarray(idx), jnp.int32(count)
-    owner = jnp.asarray(build_owner_map(idx, count, geom, h0.shape[1:3]))
+    src = jnp.asarray(build_src_map(idx, count, geom, h0.shape[1:3]))
+    sg_src, sg_flat = map(
+        jnp.asarray, build_sg_sources(idx, count, geom, h0.shape[1:3]))
 
     t = gather_tiles(x1, idx_j, count_j, geom)
     t = tile_conv2d(t, w1)
     t = scatter_gather_tiles(
-        t, h0, owner, idx_j, count_j, geom,
+        t, h0, sg_src, sg_flat, geom,
         scale=scale, shift=shift, activation="swish",
     )
     t = tile_conv2d(t, w2)
-    y_sparse = scatter_tiles(t, y0, owner, idx_j, geom)
+    y_sparse = scatter_tiles(t, y0, src, geom)
     np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full), atol=1e-4)
 
 
@@ -155,14 +155,13 @@ def test_scatter_with_block_residual_equals_dense(rng):
     gs = BlockGeometry.create(4, 1, 1, 0)
     im, cm = reduce_mask_padded(mask, gm)
     is_, cs = reduce_mask_padded(mask, gs)
-    om = jnp.asarray(build_owner_map(im, cm, gm, y_cache.shape[1:3]))
-    os_ = jnp.asarray(build_owner_map(is_, cs, gs, y_cache.shape[1:3]))
+    om = jnp.asarray(build_src_map(im, cm, gm, y_cache.shape[1:3]))
+    os_ = jnp.asarray(build_src_map(is_, cs, gs, y_cache.shape[1:3]))
 
     tm = tile_conv2d(gather_tiles(x1, jnp.asarray(im), jnp.int32(cm), gm), wm)
     ts = tile_conv2d(gather_tiles(x1, jnp.asarray(is_), jnp.int32(cs), gs), ws)
     y_sparse = scatter_with_block_residual(
-        tm, y_cache, ts, y1_cache,
-        om, jnp.asarray(im), gm, os_, jnp.asarray(is_), gs,
+        tm, y_cache, ts, y1_cache, om, gm, os_, gs,
     )
     np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full), atol=1e-4)
 
@@ -181,9 +180,9 @@ def test_scatter_residual_full_map(rng):
 
     geom = BlockGeometry.create(6, 3, 1, 1)
     idx, count = reduce_mask_padded(mask, geom)
-    owner = jnp.asarray(build_owner_map(idx, count, geom, (32, 32)))
+    src = jnp.asarray(build_src_map(idx, count, geom, (32, 32)))
     t = tile_conv2d(gather_tiles(x1, jnp.asarray(idx), jnp.int32(count), geom), w)
-    y_sparse = scatter_tiles(t, y_cache, owner, jnp.asarray(idx), geom, residual=res1)
+    y_sparse = scatter_tiles(t, y_cache, src, geom, residual=res1)
     np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full), atol=1e-4)
 
 
@@ -191,11 +190,10 @@ def test_empty_mask_returns_cache(rng):
     x0 = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
     geom = BlockGeometry.create(6, 3, 1, 1)
     idx, count = reduce_mask_padded(np.zeros((16, 16), bool), geom)
-    owner = jnp.asarray(build_owner_map(idx, count, geom, (16, 16)))
+    src = jnp.asarray(build_src_map(idx, count, geom, (16, 16)))
     tiles = gather_tiles(x0, jnp.asarray(idx), jnp.int32(count), geom)
     assert (np.asarray(tiles) == 0).all()
-    w = jnp.asarray(np.eye(4, dtype=np.float32).reshape(1, 1, 4, 4))
     # fabricate conv-output tiles of the right shape
     out_tiles = jnp.zeros((idx.shape[0], *geom.out_tile_size, 4), jnp.float32)
-    y = scatter_tiles(out_tiles, x0, owner, jnp.asarray(idx), geom)
+    y = scatter_tiles(out_tiles, x0, src, geom)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x0))
