@@ -63,11 +63,15 @@ def compute_difference_mask(a, b, eps: float = 2e-2) -> np.ndarray:
 
 def dilate_mask(mask, dilation: Union[int, IntPair]) -> np.ndarray:
     """Binary dilation by a (2*dh+1) x (2*dw+1) box via shift-OR
-    (reference: sige/utils.py:40-71)."""
+    (reference: sige/utils.py:40-71). Uses the native planner when built."""
     dh, dw = _pair(dilation)
     mask = _as_numpy(mask).astype(bool)
     if dh <= 0 and dw <= 0:
         return mask
+    if mask.ndim == 2:
+        from .. import native
+        if native.available():
+            return native.dilate_mask(mask, (dh, dw))
     out = mask.copy()
     for i in range(1, dh + 1):
         out[:-i] |= mask[i:]
@@ -192,6 +196,15 @@ def reduce_mask_padded(
     ``capacity`` pins K explicitly; otherwise K = next bucket above the live
     count. Raises if the live count exceeds an explicit capacity.
     """
+    from .. import native
+    if native.available():
+        n = native.count_tiles(_as_numpy(mask).astype(bool), geom)
+        if capacity is None:
+            capacity = round_to_bucket(n, bucket_min)
+        if n > capacity:
+            raise ValueError(f"active tiles {n} exceed capacity {capacity}")
+        return native.reduce_mask_padded(
+            _as_numpy(mask).astype(bool), geom, capacity, SENTINEL)
     indices = reduce_mask(mask, geom)
     n = indices.shape[0]
     if capacity is None:

@@ -81,6 +81,10 @@ def build_src_map(
     scatter is then ONE large-table ``take`` plus a select; computing
     per-pixel tile origins on device requires tiny-table gathers that XLA
     lowers pathologically (~0.6 ms per scatter at 256^2)."""
+    from .. import native
+    if native.available():
+        n = np.asarray(indices).shape[0] if count is None else int(count)
+        return native.build_src_map(indices, n, geom, out_hw)
     H, W = out_hw
     owner = build_owner_map(indices, count, geom, out_hw)
     R, S = geom.out_tile_size
@@ -112,6 +116,10 @@ def build_sg_sources(
         or -2 for out-of-bounds/dead (exact zero);
       * ``sg_flat``: flat cache pixel index (clamped).
     """
+    from .. import native
+    if native.available():
+        n = np.asarray(indices).shape[0] if count is None else int(count)
+        return native.build_sg_sources(indices, n, geom, out_hw)
     H, W = out_hw
     src_map = build_src_map(indices, count, geom, out_hw)
     bh, bw = geom.block_size
