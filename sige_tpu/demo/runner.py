@@ -1,0 +1,170 @@
+"""Interactive demo runner: one-time full pre-compute, then sparse-only
+edits with per-step cache slots.
+
+The reference demo's key trick (reference: diffusion_demo/runner.py,
+samplers/ddim_ddpm_sampler.py:60-66): unlike the benchmark runners there
+is NO per-step full pass — a single full sampling run of the *base* image
+fills one cache slot per denoising step (``set_cache_id(step)``), and each
+edit then runs sparse-only steps reading its matching slot. "Apply" commits
+an edit via ``sparse_update`` so caches advance without a full pass.
+
+TPU-first: both trajectories are single fused lax.scan programs; the
+per-step slot index is a traced scan counter (no recompile per step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.masks import compute_difference_mask, dilate_mask, downsample_mask
+from ..models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+from ..nn import SIGEModel
+from ..nn.module import SIGECtx
+from ..runners.diffusion_runner import data_transform, inverse_data_transform
+from ..samplers import DDIMSampler, DiffusionSchedule, get_sampling_sequence
+
+
+class DemoRunner:
+    def __init__(self, model_cfg: Optional[DDPMUNetConfig] = None,
+                 sample_steps: int = 25, noise_level: int = 400,
+                 total_steps: int = 1000, mask_dilate_radius: int = 5,
+                 params=None, seed: int = 0, bucket_min: int = 8):
+        self.sample_steps = sample_steps
+        self.noise_level = noise_level
+        self.mask_dilate_radius = mask_dilate_radius
+        self.seq = get_sampling_sequence(sample_steps, noise_level)
+        n_steps = len(self.seq)
+        if model_cfg is None:
+            model_cfg = DDPMUNetConfig()
+        # one cache slot per denoising step
+        self.model_cfg = dataclasses.replace(model_cfg, cache_slots=n_steps)
+        self.module = SIGEFusedUNet(cfg=self.model_cfg)
+        self.model = SIGEModel(self.module, params, bucket_min=bucket_min)
+        if params is None:
+            R = self.model_cfg.resolution
+            self.model.init(jax.random.key(seed),
+                            jnp.zeros((1, R, R, self.model_cfg.in_ch)),
+                            jnp.zeros((1,), jnp.float32))
+        self.sampler = DDIMSampler(
+            schedule=DiffusionSchedule.create("linear", 1e-4, 2e-2, total_steps))
+        self.base_x0 = None        # [-1, 1] base image
+        self.base_e = None         # persistent noise (reference: runner.py:112)
+        self._steps = self._step_pairs()
+
+    def _step_pairs(self):
+        seq = jnp.asarray(self.seq, jnp.int32)
+        seq_next = jnp.concatenate([jnp.array([-1], jnp.int32), seq[:-1]])
+        return jnp.stack([seq[::-1], seq_next[::-1]], axis=1)
+
+    # ------------------------------------------------------------------
+    def reset_base_image(self, image: np.ndarray, seed: int = 0) -> np.ndarray:
+        """One-time full sampling run of the base image, filling one cache
+        slot per step (reference: diffusion_demo/ui/display_pad.py:48-55).
+        Returns the base conversion result in [0, 1]."""
+        R = self.model_cfg.resolution
+        x0 = jnp.asarray(data_transform(
+            np.asarray(image, np.float32).reshape(1, R, R, -1), True))
+        key = jax.random.key(seed)
+        self.base_e = jax.random.normal(key, x0.shape, x0.dtype)
+        xt = self.sampler.q_sample(x0, jnp.int32(self.seq[-1]), self.base_e)
+
+        # trace once (records meta for planning) then the fused full scan
+        _, mut = self.module.apply(
+            {"params": self.model.params, "cache": {}},
+            x0, jnp.zeros((1,), jnp.float32),
+            ctx=SIGECtx(mode="full"), mutable=["cache", "meta"])
+        self.model.cache = mut["cache"]
+        self.model.meta = mut["meta"]
+
+        out, cache = _full_trajectory(
+            self.module, self.sampler, self.model.params, self.model.cache,
+            xt, self._steps)
+        self.model.cache = cache
+        self.base_x0 = x0
+        return inverse_data_transform(np.asarray(out[0]), True)
+
+    # ------------------------------------------------------------------
+    def generate(self, edited: np.ndarray, sparse_update: bool = False,
+                 seed: int = 0) -> np.ndarray:
+        """Sparse-only conversion of an edited image against the per-step
+        base caches (reference: diffusion_demo/runner.py:112-167)."""
+        assert self.base_x0 is not None, "call reset_base_image first"
+        R = self.model_cfg.resolution
+        x1 = jnp.asarray(data_transform(
+            np.asarray(edited, np.float32).reshape(1, R, R, -1), True))
+        mask = compute_difference_mask(np.asarray(self.base_x0),
+                                       np.asarray(x1), eps=1e-2)
+        if not mask.any():  # skip if mask empty (reference: runner.py:126)
+            return inverse_data_transform(np.asarray(self.base_x0[0]), True)
+        mask = dilate_mask(mask, self.mask_dilate_radius)
+        min_res = R // (2 ** (len(self.model_cfg.ch_mult) - 1))
+        self.model.set_masks(downsample_mask(mask, min_res=min_res))
+
+        xt = self.sampler.q_sample(x1, jnp.int32(self.seq[-1]), self.base_e)
+        out, cache = _sparse_trajectory(
+            self.module, self.sampler, self.model.params, self.model.plan,
+            self.model.cache, xt, self._steps, jnp.asarray(mask),
+            self.base_x0, self.base_e, sparse_update)
+        if sparse_update:
+            self.model.cache = cache
+            self.base_x0 = x1
+        return inverse_data_transform(np.asarray(out[0]), True)
+
+
+@partial(jax.jit, static_argnames=("module", "sampler"))
+def _full_trajectory(module, sampler, params, cache, xt, steps):
+    """Full-mode DDIM trajectory, slot i <- step i's caches/affines."""
+
+    def body(carry, inp):
+        x, cache = carry
+        i_slot, ij = inp
+        t = jnp.full((1,), ij[0], jnp.float32)
+        et, mut = module.apply(
+            {"params": params, "cache": cache}, x, t,
+            ctx=SIGECtx(mode="full", cache_id=i_slot), mutable=["cache"])
+        cache = mut["cache"]
+        at = sampler.schedule.alpha(ij[0])
+        atm1 = sampler.schedule.alpha(ij[1])
+        x = sampler.update(x, et, at, atm1, ij[0], jnp.zeros_like(x))
+        return (x, cache), None
+
+    slots = jnp.arange(steps.shape[0], dtype=jnp.int32)
+    (x, cache), _ = jax.lax.scan(body, (xt, cache), (slots, steps))
+    return x, cache
+
+
+@partial(jax.jit, static_argnames=("module", "sampler", "sparse_update"))
+def _sparse_trajectory(module, sampler, params, plan, cache, xt, steps,
+                       mask, gt_x0, gt_e, sparse_update):
+    """Sparse-only DDIM trajectory reading per-step cache slots."""
+
+    def body(carry, inp):
+        x, cache = carry
+        i_slot, ij = inp
+        t = jnp.full((1,), ij[0], jnp.float32)
+        ctx = SIGECtx(mode="sparse", sparse_update=sparse_update,
+                      cache_id=i_slot)
+        variables = {"params": params, "cache": cache, "sige": plan}
+        if sparse_update:
+            et, mut = module.apply(variables, x, t, ctx=ctx, mutable=["cache"])
+            cache = mut["cache"]
+        else:
+            et = module.apply(variables, x, t, ctx=ctx)
+        at = sampler.schedule.alpha(ij[0])
+        atm1 = sampler.schedule.alpha(ij[1])
+        x = sampler.update(x, et, at, atm1, ij[0], jnp.zeros_like(x))
+        # SDEdit blending: outside the mask follow the base trajectory
+        gt_xt = sampler.q_sample(gt_x0, ij[1], gt_e)
+        m = mask[None, :, :, None].astype(x.dtype)
+        x = gt_xt * (1 - m) + x * m
+        return (x, cache), None
+
+    slots = jnp.arange(steps.shape[0], dtype=jnp.int32)
+    (x, cache), _ = jax.lax.scan(body, (xt, cache), (slots, steps))
+    return x, cache

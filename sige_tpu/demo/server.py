@@ -1,0 +1,185 @@
+"""Zero-dependency web UI for interactive editing.
+
+The reference ships a PyQt5 paint app (reference: diffusion_demo/start.py,
+ui/); on a headless TPU VM a browser canvas is the natural equivalent.
+
+  python -m sige_tpu.demo.server --resolution 64 --tiny   # smoke config
+  python -m sige_tpu.demo.server --image path.png         # church256 demo
+
+Endpoints: POST /reset {image: dataURL} -> base conversion;
+POST /generate {image} -> sparse edit preview;
+POST /apply {image} -> commit edit (sparse_update).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>sige-tpu demo</title><style>
+body{font-family:sans-serif;margin:20px} canvas{border:1px solid #888;
+image-rendering:pixelated;width:512px;height:512px} .row{display:flex;gap:16px}
+button{margin:4px;padding:6px 14px}</style></head><body>
+<h2>sige-tpu interactive editing</h2>
+<div class="row">
+ <div><h4>paint (brush)</h4><canvas id="edit"></canvas></div>
+ <div><h4>generated</h4><canvas id="out"></canvas></div>
+</div>
+<div>
+ color <input type="color" id="color" value="#b05030">
+ size <input type="range" id="size" min="2" max="40" value="12">
+ <button onclick="send('/generate')">generate</button>
+ <button onclick="send('/apply')">apply</button>
+ <button onclick="reset()">reset base</button>
+ <span id="status"></span>
+</div>
+<script>
+const R = %RES%;
+const ec = document.getElementById('edit'), oc = document.getElementById('out');
+ec.width = ec.height = oc.width = oc.height = R;
+const ectx = ec.getContext('2d'), octx = oc.getContext('2d');
+let drawing = false;
+ec.onmousedown = e => {drawing = true; draw(e);};
+ec.onmousemove = e => {if (drawing) draw(e);};
+window.onmouseup = () => drawing = false;
+function draw(e){
+  const r = ec.getBoundingClientRect();
+  const x = (e.clientX - r.left) * R / r.width;
+  const y = (e.clientY - r.top) * R / r.height;
+  ectx.fillStyle = document.getElementById('color').value;
+  const s = document.getElementById('size').value * R / 512;
+  ectx.beginPath(); ectx.arc(x, y, s, 0, 7); ectx.fill();
+}
+async function post(path, body){
+  document.getElementById('status').textContent = '...';
+  const res = await fetch(path, {method:'POST', body: JSON.stringify(body)});
+  const js = await res.json();
+  document.getElementById('status').textContent = js.ms ? js.ms.toFixed(0)+' ms' : '';
+  return js;
+}
+async function send(path){
+  const js = await post(path, {image: ec.toDataURL()});
+  const img = new Image();
+  img.onload = () => octx.drawImage(img, 0, 0);
+  img.src = js.image;
+  if (path === '/apply') { /* edited becomes the new baseline */ }
+}
+async function reset(){
+  const js = await post('/reset', {});
+  const img = new Image();
+  img.onload = () => { ectx.drawImage(img, 0, 0); octx.drawImage(img, 0, 0); };
+  img.src = js.base;
+}
+reset();
+</script></body></html>"""
+
+
+def _png_to_array(data_url: str, R: int) -> np.ndarray:
+    from PIL import Image
+
+    raw = base64.b64decode(data_url.split(",", 1)[1])
+    img = Image.open(io.BytesIO(raw)).convert("RGB").resize((R, R))
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _array_to_data_url(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(
+        buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def make_handler(runner, base_image: np.ndarray, resolution: int):
+    import time
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, obj, code=200, ctype="application/json"):
+            body = obj if isinstance(obj, bytes) else json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send(PAGE.replace("%RES%", str(resolution)).encode(),
+                       ctype="text/html")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            t0 = time.perf_counter()
+            if self.path == "/reset":
+                out = runner.reset_base_image(base_image)
+                self._send({"base": _array_to_data_url(out),
+                            "ms": (time.perf_counter() - t0) * 1e3})
+                return
+            edited = _png_to_array(payload["image"], resolution)
+            out = runner.generate(edited, sparse_update=self.path == "/apply")
+            self._send({"image": _array_to_data_url(out),
+                        "ms": (time.perf_counter() - t0) * 1e3})
+
+        def log_message(self, *a):
+            pass
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--image", type=str, default=None)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--sample_steps", type=int, default=25)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-weight model for smoke testing")
+    p.add_argument("--restore_from", type=str, default=None)
+    args = p.parse_args()
+
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from ..models.ddpm import DDPMUNetConfig
+    from .runner import DemoRunner
+
+    R = args.resolution
+    if args.tiny:
+        cfg = DDPMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                             attn_resolutions=(8,), resolution=R,
+                             sparse_resolution_threshold=R)
+    else:
+        cfg = DDPMUNetConfig(resolution=R)
+    params = None
+    if args.restore_from:
+        from ..utils.convert import convert_ddpm_fused_unet, load_torch_state_dict
+
+        params = convert_ddpm_fused_unet(
+            load_torch_state_dict(args.restore_from), cfg.ch_mult,
+            cfg.num_res_blocks, cfg.attn_resolutions, cfg.resolution)
+    runner = DemoRunner(cfg, sample_steps=args.sample_steps, params=params,
+                        bucket_min=1 if args.tiny else 8)
+
+    if args.image:
+        from ..data import load_image
+
+        base = load_image(args.image, size=(R, R))
+    else:
+        rng = np.random.default_rng(0)
+        base = rng.random((R, R, 3)).astype(np.float32)
+
+    server = HTTPServer(("0.0.0.0", args.port),
+                        make_handler(runner, base, R))
+    print(f"sige-tpu demo on http://localhost:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

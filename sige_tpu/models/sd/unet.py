@@ -59,6 +59,11 @@ class SDUNetConfig:
     main_block_size: Optional[int] = 6
     shortcut_block_size: Optional[int] = 4
     transformer_block_size: Optional[int] = 4
+    #: latent resolution below which levels run dense (the reference wires
+    #: SIGE at every level — reference: sige_openaimodel.py:316-326 — but on
+    #: TPU the tile machinery is pure overhead once a level's tiles cover
+    #: the whole map; 0 reproduces the reference wiring)
+    sparse_resolution_threshold: int = 0
     cache_slots: int = 1
 
 
@@ -423,30 +428,35 @@ class SIGESDUNet(SIGEModule):
         self.conv_in = SIGEConv2d(features=mc, kernel_size=3, padding=1,
                                   tile_input=False)
 
-        def make_transformer(ch):
+        def make_transformer(ch, sparse=True):
             nh = cfg.num_heads
             return SIGESpatialTransformer(
                 cfg=cfg, channels=ch, n_heads=nh, d_head=ch // nh,
-                depth=cfg.transformer_depth)
+                depth=cfg.transformer_depth, support_sparse=sparse)
 
         in_blocks, in_kinds = [], []   # parallel lists in traversal order
         input_chans = [mc]
         ch = mc
         ds = 1
+        latent_res = 64  # canonical SD v1 latent; only the ds ratio matters
+        def sparse_at(ds_):
+            return (latent_res // ds_) >= cfg.sparse_resolution_threshold
         for level, mult in enumerate(cfg.channel_mult):
             for _ in range(cfg.num_res_blocks):
                 mods = [SIGESDResBlock(cfg=cfg, channels=ch,
-                                       out_channels=mult * mc)]
+                                       out_channels=mult * mc,
+                                       support_sparse=sparse_at(ds))]
                 kinds = ["res"]
                 ch = mult * mc
                 if ds in cfg.attention_resolutions:
-                    mods.append(make_transformer(ch))
+                    mods.append(make_transformer(ch, sparse_at(ds)))
                     kinds.append("attn")
                 in_blocks.append(mods)
                 in_kinds.append(kinds)
                 input_chans.append(ch)
             if level != len(cfg.channel_mult) - 1:
-                in_blocks.append([SIGESDDownsample(cfg=cfg, channels=ch)])
+                in_blocks.append([SIGESDDownsample(
+                    cfg=cfg, channels=ch, support_sparse=sparse_at(ds))])
                 in_kinds.append(["down"])
                 input_chans.append(ch)
                 ds *= 2
@@ -469,14 +479,16 @@ class SIGESDUNet(SIGEModule):
             for i in range(cfg.num_res_blocks + 1):
                 ich = chans.pop()
                 mods = [SIGESDResBlock(cfg=cfg, channels=ch + ich,
-                                       out_channels=mult * mc)]
+                                       out_channels=mult * mc,
+                                       support_sparse=sparse_at(ds))]
                 kinds = ["res"]
                 ch = mult * mc
                 if ds in cfg.attention_resolutions:
-                    mods.append(make_transformer(ch))
+                    mods.append(make_transformer(ch, sparse_at(ds)))
                     kinds.append("attn")
                 if level and i == cfg.num_res_blocks:
-                    mods.append(SIGESDUpsample(cfg=cfg, channels=ch))
+                    mods.append(SIGESDUpsample(
+                        cfg=cfg, channels=ch, support_sparse=sparse_at(ds)))
                     kinds.append("up")
                     ds //= 2
                 out_blocks.append(mods)
