@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sige_tpu.core import BlockGeometry, build_owner_map, reduce_mask_padded
+from sige_tpu.core import BlockGeometry, build_src_map, reduce_mask_padded
 from sige_tpu.core.masks import compute_difference_mask, dilate_mask
 from sige_tpu.ops import conv2d_nhwc, gather_tiles, scatter_tiles, tile_conv2d
 
@@ -47,17 +47,17 @@ def main():
     mask = dilate_mask(mask, 1)
     geom = BlockGeometry.create(block_size=6, kernel_size=3, conv_stride=1, padding=1)
     indices, count = reduce_mask_padded(mask, geom)
-    owner = build_owner_map(indices, count, geom, (H, W))
-    idx_j, owner_j = jnp.asarray(indices), jnp.asarray(owner)
+    src_map = build_src_map(indices, count, geom, (H, W))
+    idx_j, src_j = jnp.asarray(indices), jnp.asarray(src_map)
 
     # --- sparse path --------------------------------------------------------
     @jax.jit
-    def sparse(x, cache, idx, own):
+    def sparse(x, cache, idx, src):
         tiles = gather_tiles(x, idx, jnp.int32(count), geom)
         tiles = tile_conv2d(tiles, w, b)
-        return scatter_tiles(tiles, cache, own, idx, geom)
+        return scatter_tiles(tiles, cache, src, geom)
 
-    y_sparse = sparse(x1, y_cache, idx_j, owner_j)
+    y_sparse = sparse(x1, y_cache, idx_j, src_j)
 
     err = float(jnp.abs(y_full - y_sparse).max())
     print(f"Max Error: {err:.6f}")
@@ -82,7 +82,7 @@ def main():
         return (time.perf_counter() - t0) / iters * 1e3
 
     t_dense = timeit(dense, x1)
-    t_sparse = timeit(sparse, x1, y_cache, idx_j, owner_j)
+    t_sparse = timeit(sparse, x1, y_cache, idx_j, src_j)
     print(f"Dense:  {t_dense:.3f} ms")
     print(f"Sparse: {t_sparse:.3f} ms ({t_dense / t_sparse:.2f}x speedup)")
 
