@@ -171,3 +171,133 @@ def assert_params_match(converted: Mapping, target: Mapping) -> None:
                 f"shape mismatch at {'/'.join(k)}: "
                 f"{np.shape(a[k])} vs {np.shape(b[k])}"
             )
+
+
+def convert_gaugan_fused_spade(
+    sd: Mapping[str, np.ndarray],
+    num_upsampling_layers: str = "more",
+) -> Dict:
+    """Map a reference FusedSPADE/SIGEFusedSPADE generator state dict
+    (``fused_spade.pth``) onto the
+    :class:`sige_tpu.models.gaugan.SIGEFusedSPADEGenerator` param tree
+    (reference: gaugan/models/spade_generators/fused_spade_generator.py —
+    the SIGE checkpoint format).
+    """
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path: str, arr: np.ndarray):
+        flat[tuple(path.split("/"))] = arr
+
+    def conv_pair(src: str, dst: str):
+        put(f"{dst}/kernel", _conv(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def norm(src: str, dst: str):
+        put(f"{dst}/running_mean", sd[f"{src}.param_free_norm.running_mean"])
+        put(f"{dst}/running_var", sd[f"{src}.param_free_norm.running_var"])
+        conv_pair(f"{src}.mlp_gamma_beta", f"{dst}/mlp_gamma_beta")
+
+    def block(src: str, dst: str, learned_shortcut: bool):
+        conv_pair(f"{src}.mlp_shared.0", f"{dst}/mlp_shared")
+        conv_pair(f"{src}.conv_0", f"{dst}/conv_0")
+        conv_pair(f"{src}.conv_1", f"{dst}/conv_1")
+        norm(f"{src}.norm_0", f"{dst}/norm_0")
+        norm(f"{src}.norm_1", f"{dst}/norm_1")
+        if learned_shortcut:
+            conv_pair(f"{src}.conv_s", f"{dst}/conv_s")
+            norm(f"{src}.norm_s", f"{dst}/norm_s")
+
+    conv_pair("fc", "fc")
+    names = ["head_0", "G_middle_0", "G_middle_1",
+             "up_0", "up_1", "up_2", "up_3"]
+    shortcut = [False, False, False, True, True, True, True]
+    if num_upsampling_layers == "most":
+        names.append("up_4")
+        shortcut.append(True)
+    for name, sc in zip(names, shortcut):
+        block(name, name, sc)
+    conv_pair("conv_img", "conv_img")
+
+    import flax
+
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+def convert_pd_unet(
+    sd: Mapping[str, np.ndarray],
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 4, 6, 8),
+    num_res_blocks: int = 3,
+    attn_resolutions: Tuple[int, ...] = (8, 16, 32),
+    resolution: int = 256,
+) -> Dict:
+    """Map a reference PD UNet state dict (``church128-pd-unet.pth`` style;
+    reference: diffusion/models/pd_arch/unet.py) onto
+    :class:`sige_tpu.models.pd.SIGEPDUNet`."""
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def put(path: str, arr: np.ndarray):
+        flat[tuple(path.split("/"))] = arr
+
+    def conv_pair(src: str, dst: str):
+        put(f"{dst}/kernel", _conv(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def norm_pair(src: str, dst: str):
+        put(f"{dst}/scale", sd[f"{src}.weight"])
+        put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def linear_pair(src: str, dst: str):
+        put(f"{dst}/kernel", _linear(sd[f"{src}.weight"]))
+        put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def resblock(src: str, dst: str):
+        norm_pair(f"{src}.norm1", f"{dst}/norm1")
+        conv_pair(f"{src}.conv1", f"{dst}/conv1")
+        linear_pair(f"{src}.temb_proj", f"{dst}/temb_proj")
+        norm_pair(f"{src}.norm2", f"{dst}/norm2")
+        conv_pair(f"{src}.conv2", f"{dst}/conv2")
+        if f"{src}.nin_shortcut.weight" in sd:
+            conv_pair(f"{src}.nin_shortcut", f"{dst}/nin_shortcut")
+
+    def attnblock(src: str, dst: str):
+        norm_pair(f"{src}.norm", f"{dst}/norm")
+        conv_pair(f"{src}.qkv", f"{dst}/qkv")
+        conv_pair(f"{src}.proj_out", f"{dst}/proj_out")
+
+    linear_pair("temb.dense.0", "temb_dense0")
+    linear_pair("temb.dense.1", "temb_dense1")
+    conv_pair("conv_in", "conv_in")
+
+    nres = len(ch_mult)
+    curr_res = resolution
+    for i in range(nres):
+        for b in range(num_res_blocks):
+            resblock(f"down.{i}.block.{b}", f"down_blocks_{i}_{b}")
+            if curr_res in attn_resolutions:
+                attnblock(f"down.{i}.attn.{b}", f"down_attns_{i}_{b}")
+        if i != nres - 1:
+            resblock(f"down.{i}.downsample", f"downsamples_{i}")
+            curr_res //= 2
+
+    resblock("mid.block_1", "mid_block1")
+    attnblock("mid.attn_1", "mid_attn")
+    resblock("mid.block_2", "mid_block2")
+
+    for i in reversed(range(nres)):
+        for b in range(num_res_blocks + 1):
+            resblock(f"up.{i}.block.{b}", f"up_blocks_{i}_{b}")
+            if curr_res in attn_resolutions:
+                attnblock(f"up.{i}.attn.{b}", f"up_attns_{i}_{b}")
+        if i != 0:
+            resblock(f"up.{i}.upsample", f"upsamples_{i - 1}")
+            curr_res *= 2
+
+    put("norm_out_scale", sd["norm_out.weight"])
+    put("norm_out_bias", sd["norm_out.bias"])
+    conv_pair("conv_out", "conv_out")
+
+    import flax
+
+    return flax.traverse_util.unflatten_dict(flat)

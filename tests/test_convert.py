@@ -132,3 +132,120 @@ def test_linear_layout_matches_torch(rng):
     ours = jnp.asarray(x) @ jnp.asarray(_linear(w)) + b
     ref = F.linear(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def _torch_style_from_flat(params, mapping):
+    """Generic inverse: mapping is {flax_path_prefix: torch_prefix}."""
+    sd = {}
+    flat = flax.traverse_util.flatten_dict(params)
+    for key, arr in flat.items():
+        a = np.asarray(arr)
+        path = "/".join(key)
+        matched = None
+        for fpref, tpref in mapping.items():
+            if path == fpref or path.startswith(fpref + "/"):
+                matched = tpref + path[len(fpref):].replace("/", ".")
+                break
+        assert matched is not None, path
+        if matched.endswith(".kernel"):
+            base = matched[: -len(".kernel")]
+            sd[base + ".weight"] = (np.transpose(a, (3, 2, 0, 1)) if a.ndim == 4
+                                    else np.transpose(a, (1, 0)))
+        elif matched.endswith(".scale"):
+            sd[matched[: -len(".scale")] + ".weight"] = a
+        else:
+            sd[matched.replace(".bias", ".bias")
+                      .replace(".running_mean", ".running_mean")
+                      .replace(".running_var", ".running_var")] = a
+    return sd
+
+
+def test_gaugan_converter_bijection():
+    from sige_tpu.models.gaugan import SPADEGenConfig, SIGEFusedSPADEGenerator
+    from sige_tpu.nn.module import SIGECtx
+    from sige_tpu.utils.convert import convert_gaugan_fused_spade
+
+    cfg = SPADEGenConfig(ngf=8, semantic_nc=6, crop_size=128,
+                         num_upsampling_layers="more", num_sparse_layers=5)
+    net = SIGEFusedSPADEGenerator(cfg=cfg)
+    variables = jax.eval_shape(
+        lambda: net.init(jax.random.key(0),
+                         jnp.zeros((1, 64, 128, 6)), ctx=SIGECtx(mode="dense")))
+    params = jax.tree.map(lambda s: np.zeros(s.shape, np.float32),
+                          variables["params"])
+    # build a torch-style dict from the flax tree (norm fields map specially)
+    flat = flax.traverse_util.flatten_dict(params)
+    sd = {}
+    for key, a in flat.items():
+        path = list(key)
+        name = path[-1]
+        mod = ".".join(path[:-1])
+        mod = mod.replace("mlp_shared", "mlp_shared.0")
+        if "norm_" in mod and name in ("running_mean", "running_var"):
+            sd[f"{mod}.param_free_norm.{name}"] = a
+        elif name == "kernel":
+            sd[f"{mod}.weight"] = (np.transpose(a, (3, 2, 0, 1)) if a.ndim == 4
+                                   else np.transpose(a, (1, 0)))
+        else:
+            sd[f"{mod}.{name}"] = a
+    converted = convert_gaugan_fused_spade(sd, cfg.num_upsampling_layers)
+    from sige_tpu.utils.convert import assert_params_match
+    assert_params_match(converted, params)
+
+
+def test_pd_converter_bijection():
+    from sige_tpu.models.pd import PDUNetConfig, SIGEPDUNet
+    from sige_tpu.nn.module import SIGECtx
+    from sige_tpu.utils.convert import convert_pd_unet
+
+    cfg = PDUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=2,
+                       attn_resolutions=(16,), resolution=32, temb_ch=64,
+                       head_dim=16)
+    net = SIGEPDUNet(cfg=cfg)
+    variables = jax.eval_shape(
+        lambda: net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                         jnp.zeros((1,)), ctx=SIGECtx(mode="dense")))
+    params = jax.tree.map(lambda s: np.zeros(s.shape, np.float32),
+                          variables["params"])
+    flat = flax.traverse_util.flatten_dict(params)
+    sd = {}
+    import re as _re
+    for key, a in flat.items():
+        path = "/".join(key)
+        m = path
+        m = m.replace("temb_dense0", "temb.dense.0")
+        m = m.replace("temb_dense1", "temb.dense.1")
+        for pref, ref in (("down_blocks_", "down.{}.block.{}"),
+                          ("down_attns_", "down.{}.attn.{}"),
+                          ("up_blocks_", "up.{}.block.{}"),
+                          ("up_attns_", "up.{}.attn.{}")):
+            if m.startswith(pref):
+                rest = m[len(pref):]
+                nums, _, sub = rest.partition("/")
+                i, b = nums.split("_")
+                m = ref.format(i, b) + ("." + sub.replace("/", ".") if sub else "")
+        if m.startswith("downsamples_"):
+            i = m.split("_")[1].split("/")[0]
+            m = f"down.{i}.downsample." + m.split("/", 1)[1].replace("/", ".")
+        if m.startswith("upsamples_"):
+            i = int(m.split("_")[1].split("/")[0])
+            m = f"up.{i + 1}.upsample." + m.split("/", 1)[1].replace("/", ".")
+        m = m.replace("mid_block1", "mid.block_1").replace(
+            "mid_block2", "mid.block_2").replace("mid_attn", "mid.attn_1")
+        m = m.replace("/", ".")
+        if m == "norm_out_scale":
+            sd["norm_out.weight"] = a
+        elif m == "norm_out_bias":
+            sd["norm_out.bias"] = a
+        elif m.endswith(".kernel"):
+            base = m[: -len(".kernel")]
+            sd[base + ".weight"] = (np.transpose(a, (3, 2, 0, 1)) if a.ndim == 4
+                                    else np.transpose(a, (1, 0)))
+        elif m.endswith(".scale"):
+            sd[m[: -len(".scale")] + ".weight"] = a
+        else:
+            sd[m] = a
+    converted = convert_pd_unet(sd, cfg.ch_mult, cfg.num_res_blocks,
+                                cfg.attn_resolutions, cfg.resolution)
+    from sige_tpu.utils.convert import assert_params_match
+    assert_params_match(converted, params)
