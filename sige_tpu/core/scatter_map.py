@@ -7,10 +7,11 @@ sige/cpu/scatter_gather.cpp:58-84 ``get_scatter_map``).
 
 On TPU we invert the dataflow: a host-side planning step assigns every
 output pixel its *owning* tile (the highest-numbered covering tile — the
-same winner as the reference's sequential CPU loop), and scatter becomes a
-deterministic, fully-parallel gather "read your pixel from your owner's
-tile, else from the cache". One owner map serves plain scatter, the fused
-scatter-gather, and residual calibration.
+same winner as the reference's sequential CPU loop) and resolves it all
+the way to a flat tile-pixel source index, so scatter becomes a
+deterministic, fully-parallel gather "read your pixel from its source
+tile pixel, else from the cache". The source maps serve plain scatter,
+the fused scatter-gather, and residual calibration.
 """
 
 from __future__ import annotations

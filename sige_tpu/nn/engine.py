@@ -36,6 +36,7 @@ class SIGEModel:
         self.params = params
         self.cache: Dict = {}
         self.meta: Optional[Mapping] = None
+        self._meta_host = None
         self.plan: Dict = {}
         self.bucket_min = bucket_min
         self.capacities: Dict = {}
@@ -84,17 +85,23 @@ class SIGEModel:
             self.params, self.cache, jnp.int32(cache_id), args, kwargs
         )
         self.cache = mut["cache"]
-        self.meta = mut["meta"]
+        if self.meta is None:
+            self.meta = mut["meta"]
         return y
 
     def set_masks(self, masks: Mapping, capacities: Optional[Dict] = None):
         """Host-side planning: mask pyramid -> indices/owner maps."""
         if self.meta is None:
             raise RuntimeError("run a full() pass before set_masks()")
-        meta_host = jax.tree.map(np.asarray, self.meta)
-        self.plan = build_plan(
-            meta_host, masks, self.bucket_min, capacities or self.capacities
+        if self._meta_host is None:  # one batched D2H; meta is static
+            self._meta_host = jax.device_get(self.meta)
+        plan = build_plan(
+            self._meta_host, masks, self.bucket_min,
+            capacities or self.capacities
         )
+        # one batched H2D for the whole plan (per-leaf transfers are ~50ms
+        # each through a remote-dispatch tunnel)
+        self.plan = jax.device_put(plan)
         return self.plan
 
     def sparse(self, *args, cache_id: int = 0, sparse_update: bool = False,

@@ -12,8 +12,8 @@ Here the same protocol is functional:
     the mutable ``"cache"`` variable collection, with a static number of
     slots indexed by the traced ``ctx.cache_id`` (the reference's
     per-cache-id dicts; reference: sige/nn/scatter.py:40);
-  * **planning products** (active tile indices, live counts, ownership
-    maps) live in the ``"sige"`` collection, produced host-side by
+  * **planning products** (active tile indices, live counts, per-pixel
+    source-index maps) live in the ``"sige"`` collection, produced host-side by
     :mod:`sige_tpu.nn.planner` from the ``"meta"`` collection the full
     pass records;
   * **pairing** (a Scatter must use its Gather's indices) is expressed by
@@ -101,9 +101,10 @@ class Gather(SIGEModule):
     (reference: sige/nn/gather.py).
 
     Also the anchor for planning products: the planner writes
-    ``indices``/``count`` and per-resolution ``owner_{h}x{w}`` maps into
-    this module's ``"sige"`` collection; paired scatters read them through
-    the shared module reference.
+    ``indices``/``count``, per-resolution ``srcmap_{h}x{w}`` scatter source
+    maps, and ``sgsrc/sgflat`` fused re-gather lookups into this module's
+    ``"sige"`` collection; paired scatters read them through the shared
+    module reference.
     """
 
     block_size: Union[int, IntPair] = 6

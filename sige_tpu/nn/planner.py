@@ -71,8 +71,9 @@ def build_plan(
         reuse a compiled program across edits of different sizes).
 
     Returns a nested dict mirroring the module tree with, at each Gather:
-      ``indices`` [K, 2] int32, ``count`` int32 scalar, and one
-      ``owner_{h}x{w}`` int32 map per scatter output resolution.
+      ``indices`` [K, 2] int32, ``count`` int32 scalar, one
+      ``srcmap_{h}x{w}`` int32 map per scatter output resolution, and
+      ``sgsrc_/sgflat_{h}x{w}`` lookups per fused re-gather resolution.
     """
     if _memo is None:
         _memo = {}
@@ -94,9 +95,12 @@ def build_plan(
                     masks[res], geom, capacity=cap, bucket_min=bucket_min
                 )
             indices, count = _memo[memo_key]
+            # numpy leaves: the engine device_puts the WHOLE plan in one
+            # batched transfer (per-leaf transfers cost ~50ms each through
+            # a remote-dispatch tunnel)
             entry = {
-                "indices": jnp.asarray(indices),
-                "count": jnp.int32(count),
+                "indices": np.asarray(indices, np.int32),
+                "count": np.int32(count),
             }
             def _reses(key):
                 return sorted({tuple(int(i) for i in np.asarray(a))
@@ -104,14 +108,12 @@ def build_plan(
             for ores in _reses("scatter_res"):
                 okey = ("srcmap", res, geom, cap, ores)
                 if okey not in _memo:
-                    _memo[okey] = jnp.asarray(
-                        build_src_map(indices, count, geom, ores))
+                    _memo[okey] = build_src_map(indices, count, geom, ores)
                 entry[f"srcmap_{ores[0]}x{ores[1]}"] = _memo[okey]
             for ores in _reses("sg_res"):
                 okey = ("sg", res, geom, cap, ores)
                 if okey not in _memo:
-                    ss, sf = build_sg_sources(indices, count, geom, ores)
-                    _memo[okey] = (jnp.asarray(ss), jnp.asarray(sf))
+                    _memo[okey] = build_sg_sources(indices, count, geom, ores)
                 entry[f"sgsrc_{ores[0]}x{ores[1]}"] = _memo[okey][0]
                 entry[f"sgflat_{ores[0]}x{ores[1]}"] = _memo[okey][1]
             plan[name] = entry

@@ -134,32 +134,6 @@ def test_linear_layout_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
-def _torch_style_from_flat(params, mapping):
-    """Generic inverse: mapping is {flax_path_prefix: torch_prefix}."""
-    sd = {}
-    flat = flax.traverse_util.flatten_dict(params)
-    for key, arr in flat.items():
-        a = np.asarray(arr)
-        path = "/".join(key)
-        matched = None
-        for fpref, tpref in mapping.items():
-            if path == fpref or path.startswith(fpref + "/"):
-                matched = tpref + path[len(fpref):].replace("/", ".")
-                break
-        assert matched is not None, path
-        if matched.endswith(".kernel"):
-            base = matched[: -len(".kernel")]
-            sd[base + ".weight"] = (np.transpose(a, (3, 2, 0, 1)) if a.ndim == 4
-                                    else np.transpose(a, (1, 0)))
-        elif matched.endswith(".scale"):
-            sd[matched[: -len(".scale")] + ".weight"] = a
-        else:
-            sd[matched.replace(".bias", ".bias")
-                      .replace(".running_mean", ".running_mean")
-                      .replace(".running_var", ".running_var")] = a
-    return sd
-
-
 def test_gaugan_converter_bijection():
     from sige_tpu.models.gaugan import SPADEGenConfig, SIGEFusedSPADEGenerator
     from sige_tpu.nn.module import SIGECtx
