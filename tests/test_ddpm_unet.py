@@ -124,3 +124,25 @@ def test_profile_macs(setup):
     # whole image); the full-scale reduction is asserted by the bench. Here
     # we only check the accounting mechanism orders correctly.
     assert sparse_macs < 0.8 * dense_macs, (dense_macs, sparse_macs)
+
+
+def test_bf16_sparse_tracks_fp32(setup):
+    """bf16 inference (the bench dtype) must track fp32 to ~1e-2 on [-1,1]
+    outputs — norm statistics stay fp32 internally."""
+    cfg, model, x0, x1, t, mask = setup
+    _ = model.full(x0, t)
+    masks = downsample_mask(dilate_mask(mask, 2), min_res=4)
+    model.set_masks(masks)
+    y32 = np.asarray(model.sparse(x0, t))
+
+    bf = jnp.bfloat16
+    cast = lambda tr: jax.tree.map(
+        lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, tr)
+    from sige_tpu.nn.module import SIGECtx
+    yb = model.module.apply(
+        {"params": cast(model.params), "cache": cast(model.cache),
+         "sige": model.plan},
+        x0.astype(bf), t, ctx=SIGECtx(mode="sparse"))
+    err = np.abs(y32 - np.asarray(yb, np.float32))
+    assert err.max() < 0.1, err.max()
+    assert err.mean() < 0.01
