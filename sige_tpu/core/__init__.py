@@ -9,7 +9,8 @@ from .masks import (
     reduce_mask,
     reduce_mask_padded,
 )
-from .scatter_map import build_owner_map, build_sg_sources, build_src_map
+from .scatter_map import (build_owner_map, build_sg_sources, build_src_map,
+                          gather_position_geom)
 
 __all__ = [
     "BlockGeometry",
@@ -21,4 +22,5 @@ __all__ = [
     "build_owner_map",
     "build_src_map",
     "build_sg_sources",
+    "gather_position_geom",
 ]

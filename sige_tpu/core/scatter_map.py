@@ -139,3 +139,17 @@ def build_sg_sources(
     src = src_map.reshape(-1)[flat]
     sg_src = np.where(inb.reshape(-1), src, -2).astype(np.int32)
     return sg_src, flat
+
+
+def gather_position_geom(geom: BlockGeometry) -> BlockGeometry:
+    """Pseudo-geometry whose conv-output tiles ARE the gather blocks:
+    origins = raw indices, extent = block size. Feeding this to
+    :func:`build_src_map` yields the pixel -> gather-position map used to
+    materialize tile-resident chains."""
+    return BlockGeometry(
+        block_size=geom.block_size,
+        block_stride=geom.block_stride,
+        offset=(0, 0),
+        kernel_size=(1, 1),
+        conv_stride=(1, 1),
+    )

@@ -27,10 +27,31 @@ from ...nn.module import (
     SIGEConv2d,
     SIGECtx,
     SIGEModule,
+    _read_slot,
     sow_macs,
 )
+from ...ops.scatter import materialize_tiles, scatter_gather_residual_tiles
 from ...nn.norm import group_norm_with_affine
 from ..ddpm.unet import _FoldedGroupNorm, _swish
+
+
+class TileState:
+    """Carried state of a tile-resident chain: raw block output evaluated
+    at the shared gather positions, plus what a consumer needs to
+    materialize the full map."""
+
+    def __init__(self, tiles, y0, pix_src, geom):
+        self.tiles = tiles
+        self.y0 = y0
+        self.pix_src = pix_src
+        self.geom = geom
+
+    def to_map(self):
+        return materialize_tiles(self.tiles, self.y0, self.pix_src, self.geom)
+
+
+def _ensure_map(x):
+    return x.to_map() if isinstance(x, TileState) else x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +71,11 @@ class SDVAEConfig:
     main_block_size: Optional[int] = 6
     shortcut_block_size: Optional[int] = 4
     attn_block_size: Optional[int] = 4
+    #: keep identity-shortcut resblock chains tile-resident in sparse mode
+    #: (the decoder's up path is a pure chain — full maps materialize only
+    #: at attention/upsample/level boundaries). Opt-in TPU optimization; no
+    #: reference counterpart.
+    tile_chain: bool = False
     cache_slots: int = 1
 
 
@@ -98,7 +124,15 @@ class SIGEVAEResnetBlock(SIGEModule):
             self.join = Scatter(gather=self.main_gather,
                                 cache_slots=cfg.cache_slots)
 
+    @property
+    def _chainable(self) -> bool:
+        return (self.cfg.tile_chain and self.main_sparse
+                and self.in_channels == self.out_channels)
+
     def __call__(self, x, ctx: SIGECtx):
+        if ctx.mode == "sparse" and self._chainable and not ctx.sparse_update:
+            return self._chain_sparse(x, ctx)
+        x = _ensure_map(x)
         h, xs = x, x
         if self.in_channels != self.out_channels:
             if self.shortcut_sparse:
@@ -116,6 +150,10 @@ class SIGEVAEResnetBlock(SIGEModule):
             h, _, _ = self.norm2(h, ctx)
             h = _swish(h)
             h = self.conv2(h, ctx)
+            if self._chainable and ctx.mode == "full":
+                # plan products for the sparse tile-resident path
+                self.main_gather.request_sg(h.shape[1:3])
+                self.main_gather.request_pixsrc(h.shape[1:3])
         else:
             _, s1, b1 = self.norm1(h, ctx)
             if self.main_sparse:
@@ -133,6 +171,40 @@ class SIGEVAEResnetBlock(SIGEModule):
         if self.main_sparse:
             return self.join(h, ctx, residual=xs)
         return h + xs
+
+    def _chain_sparse(self, x, ctx: SIGECtx) -> "TileState":
+        """Tile-resident sparse path (identity shortcut): the chain state
+        never materializes between consecutive blocks."""
+        geom = self.main_gather.geom
+        cache = self.join.get_variable("cache", "original")
+        y0 = _read_slot(cache, ctx.cache_id)
+        res = y0.shape[1:3]
+        sg_src, sg_flat = self.main_gather.read_sg(res)
+        pix_src = self.main_gather.read_pixsrc(res)
+
+        if isinstance(x, TileState):
+            T = x.tiles
+        else:
+            # raw tiles at gather positions (bypass the module's fused
+            # swish epilogue — the chain folds norms explicitly)
+            from ...ops import gather_tiles
+            idx, count = self.main_gather.read_plan()
+            T = gather_tiles(x, idx, count, geom)
+        B = y0.shape[0]
+        K = T.shape[0] // B
+        bh, bw = geom.block_size
+        ok = (sg_src > -2).reshape(1, K, bh, bw, 1)
+
+        _, s1, b1 = self.norm1(T, ctx)
+        h = T.reshape(B, K, bh, bw, -1)
+        h = _swish(h * s1[:, None, None, None, :] + b1[:, None, None, None, :])
+        h = jnp.where(ok, h, jnp.zeros((), h.dtype)).reshape(B * K, bh, bw, -1)
+        h = self.conv1(h, ctx)
+        _, s2, b2 = self.norm2(h, ctx)
+        h = self.sg(h, ctx, scale=s2, shift=b2)
+        h = self.conv2(h, ctx)
+        T2 = scatter_gather_residual_tiles(h, y0, T, sg_src, sg_flat, geom)
+        return TileState(T2, y0, pix_src, geom)
 
 
 class SIGEVAEAttnBlock(SIGEModule):
@@ -317,10 +389,13 @@ class SIGEEncoder(SIGEModule):
             for ib in range(cfg.num_res_blocks):
                 h = self.down_blocks[i][ib](h, ctx)
                 if self.down_attns[i]:
+                    h = _ensure_map(h)
                     h = self.down_attns[i][ib](h, ctx)
             if i != len(cfg.ch_mult) - 1:
+                h = _ensure_map(h)
                 h = self.downsamples[i](h, ctx)
         h = self.mid_block1(h, ctx)
+        h = _ensure_map(h)
         h = self.mid_attn(h, ctx)
         h = self.mid_block2(h, ctx)
         h, _, _ = group_norm_with_affine(
@@ -375,15 +450,19 @@ class SIGEDecoder(SIGEModule):
         cfg = self.cfg
         h = self.conv_in(z, ctx)
         h = self.mid_block1(h, ctx)
+        h = _ensure_map(h)
         h = self.mid_attn(h, ctx)
         h = self.mid_block2(h, ctx)
         for i in reversed(range(len(cfg.ch_mult))):
             for ib in range(cfg.num_res_blocks + 1):
                 h = self.up_blocks[i][ib](h, ctx)
                 if self.up_attns[i]:
+                    h = _ensure_map(h)
                     h = self.up_attns[i][ib](h, ctx)
             if i != 0:
+                h = _ensure_map(h)
                 h = self.upsamples[i - 1](h, ctx)
+        h = _ensure_map(h)
         h, _, _ = group_norm_with_affine(
             h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)
         h = _swish(h)

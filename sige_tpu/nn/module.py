@@ -153,6 +153,9 @@ class Gather(SIGEModule):
     def request_sg(self, res: IntPair):
         self.sow("meta", "sg_res", jnp.array(res, jnp.int32))
 
+    def request_pixsrc(self, res: IntPair):
+        self.sow("meta", "pixsrc_res", jnp.array(res, jnp.int32))
+
     def read_plan(self):
         return (
             self.get_variable("sige", "indices"),
@@ -167,6 +170,9 @@ class Gather(SIGEModule):
             self.get_variable("sige", f"sgsrc_{res[0]}x{res[1]}"),
             self.get_variable("sige", f"sgflat_{res[0]}x{res[1]}"),
         )
+
+    def read_pixsrc(self, res: IntPair):
+        return self.get_variable("sige", f"pixsrc_{res[0]}x{res[1]}")
 
 
 def _slotted_cache(mod: nn.Module, name: str, value: jnp.ndarray, slots: int,

@@ -24,7 +24,8 @@ import numpy as np
 
 from ..core.geometry import BlockGeometry
 from ..core.masks import reduce_mask_padded
-from ..core.scatter_map import build_sg_sources, build_src_map
+from ..core.scatter_map import (build_sg_sources, build_src_map,
+                                gather_position_geom)
 
 IntPair = Tuple[int, int]
 
@@ -116,6 +117,12 @@ def build_plan(
                     _memo[okey] = build_sg_sources(indices, count, geom, ores)
                 entry[f"sgsrc_{ores[0]}x{ores[1]}"] = _memo[okey][0]
                 entry[f"sgflat_{ores[0]}x{ores[1]}"] = _memo[okey][1]
+            for ores in _reses("pixsrc_res"):
+                okey = ("pixsrc", res, geom, cap, ores)
+                if okey not in _memo:
+                    _memo[okey] = build_src_map(
+                        indices, count, gather_position_geom(geom), ores)
+                entry[f"pixsrc_{ores[0]}x{ores[1]}"] = _memo[okey]
             plan[name] = entry
         elif isinstance(node, Mapping):
             sub = build_plan(node, masks, bucket_min, capacities,

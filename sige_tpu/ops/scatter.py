@@ -197,3 +197,70 @@ def scatter_gather_tiles(
                        activation, activation_first)
     z = jnp.where((sg_src >= -1)[None, :, None], z, jnp.zeros((), z.dtype))
     return z.reshape(B, K, bh, bw, C).reshape(B * K, bh, bw, C)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("geom", "activation", "activation_first"),
+)
+def scatter_gather_residual_tiles(
+    tiles: jnp.ndarray,
+    cache: jnp.ndarray,
+    res_tiles: jnp.ndarray,
+    sg_src: jnp.ndarray,
+    sg_flat: jnp.ndarray,
+    geom: BlockGeometry,
+    scale: Optional[jnp.ndarray] = None,
+    shift: Optional[jnp.ndarray] = None,
+    activation: str = "identity",
+    activation_first: bool = False,
+) -> jnp.ndarray:
+    """Fused residual join evaluated at gather positions (tile-resident
+    chains): for each gather-position pixel,
+
+        z = covered ? conv2_tile_px + residual_tile_px : cached_px
+
+    This is a resblock join (reference: sige/nn/scatter.py residual path)
+    that never materializes the full map — the residual arrives as tiles at
+    the SAME gather positions (the chain's carried state). OOB pixels are
+    exact zero."""
+    B, H, W, C = cache.shape
+    R, S = geom.out_tile_size
+    bh, bw = geom.block_size
+    K = tiles.shape[0] // B
+    t = tiles.reshape(B, K * R * S, C)
+    r = res_tiles.reshape(B, K * bh * bw, C)
+
+    fresh = jnp.take(t, jnp.maximum(sg_src, 0), axis=1) + r
+    cached = jnp.take(cache.reshape(B, H * W, C), sg_flat, axis=1)
+    z = jnp.where((sg_src >= 0)[None, :, None], fresh, cached)
+    scale = _broadcast_param(scale, cache)
+    shift = _broadcast_param(shift, cache)
+    sc = scale.reshape(scale.shape[0], 1, scale.shape[3]) if scale is not None else None
+    sh = shift.reshape(shift.shape[0], 1, shift.shape[3]) if shift is not None else None
+    z = apply_epilogue(z, sc, sh, activation, activation_first)
+    z = jnp.where((sg_src >= -1)[None, :, None], z, jnp.zeros((), z.dtype))
+    return z.reshape(B, K, bh, bw, C).reshape(B * K, bh, bw, C)
+
+
+@partial(jax.jit, static_argnames=("geom",))
+def materialize_tiles(
+    tile_state: jnp.ndarray,
+    cache: jnp.ndarray,
+    pix_src: jnp.ndarray,
+    geom: BlockGeometry,
+) -> jnp.ndarray:
+    """Turn a tile-resident chain state back into a full map.
+
+    Gather positions cover every pixel the chain could have changed;
+    uncovered pixels keep the last join's cached value. ``pix_src`` maps
+    each output pixel to a covering gather-position pixel (-1 uncovered),
+    planned host-side with the gather-block pseudo-geometry."""
+    B, H, W, C = cache.shape
+    bh, bw = geom.block_size
+    K = tile_state.shape[0] // B
+    t = tile_state.reshape(B, K * bh * bw, C)
+    src = pix_src.reshape(-1)
+    fresh = jnp.take(t, jnp.maximum(src, 0), axis=1).reshape(B, H, W, C)
+    covered = (pix_src >= 0)[None, :, :, None]
+    return jnp.where(covered, fresh, cache)

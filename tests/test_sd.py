@@ -147,3 +147,28 @@ def test_sd_runner_inpaint_and_sdedit():
     out2 = runner.sdedit(init, edited, uc=uc, c=c, seed=2)
     assert out2.shape == (R, R, 3)
     assert np.isfinite(out2).all()
+
+
+def test_vae_tile_chain_matches_unchained():
+    """The opt-in tile-resident chain must reproduce the standard sparse
+    path exactly (same caches, same plan)."""
+    import dataclasses as dc
+    rng = np.random.default_rng(7)
+    R = TINY_VAE.resolution
+    cfg_chain = dc.replace(TINY_VAE, tile_chain=True)
+    z = jnp.asarray(rng.standard_normal((1, R // 2, R // 2, 4)).astype(np.float32))
+    mask = make_mask(R, R)
+
+    def run(cfg):
+        dec = SIGEModel(SIGEDecoder(cfg=cfg), bucket_min=1)
+        dec.init(jax.random.key(3), z)
+        y_full = dec.full(z)
+        dec.set_masks(downsample_mask(dilate_mask(mask, 1), min_res=4))
+        y_sparse = dec.sparse(z)
+        return np.asarray(y_full), np.asarray(y_sparse), dec
+
+    yf0, ys0, dec0 = run(TINY_VAE)
+    yf1, ys1, dec1 = run(cfg_chain)
+    np.testing.assert_allclose(yf0, yf1, atol=1e-5)      # full unchanged
+    np.testing.assert_allclose(ys1, yf1, atol=2e-4)      # chain exact on orig
+    np.testing.assert_allclose(ys0, ys1, atol=2e-4)      # chain == unchained
