@@ -18,16 +18,21 @@ import time
 import numpy as np
 
 
-def _timeit(f, *args, iters=30):
+def _timeit(f, *args, iters=30, batches=3):
+    """Min-of-batches average: robust to scheduler/dispatch noise while
+    measuring the same compiled program."""
     import jax
 
     y = f(*args)
     jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(*args)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = f(*args)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
 
 
 def _edit_mask(R, pct=1.2, dilate=5):
@@ -116,7 +121,7 @@ def bench_ddpm(iters):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         help="bench dtype for BOTH modes (fair comparison)")
     parser.add_argument("--skip_ddpm", action="store_true")
