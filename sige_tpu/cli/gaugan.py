@@ -48,7 +48,6 @@ def main():
 
     enable_compilation_cache()
     from ..models.gaugan import (
-        SIGEFusedSPADEGenerator,
         SIGESubMobileSPADEGenerator,
         SPADEGenConfig,
         decode_config,

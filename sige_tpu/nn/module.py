@@ -43,7 +43,6 @@ from ..ops import (
     scatter_tiles,
     scatter_with_block_residual,
 )
-from ..ops.scatter import calibrate_residual  # noqa: F401  (re-export convenience)
 
 IntPair = Tuple[int, int]
 

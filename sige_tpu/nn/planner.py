@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Dict, Mapping, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry import BlockGeometry

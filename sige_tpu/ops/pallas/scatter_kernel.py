@@ -13,8 +13,6 @@ giving deterministic last-writer-wins tile overlap.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

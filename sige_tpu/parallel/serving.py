@@ -10,10 +10,8 @@ or per-mask request queues).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..nn.module import SIGECtx
 from .mesh import make_mesh, replicate, shard_batch, shard_cache

@@ -21,11 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Mapping, Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..nn.module import SIGECtx
 from .diffusion import DiffusionSchedule

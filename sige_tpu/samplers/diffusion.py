@@ -8,7 +8,6 @@ sampling-sequence construction (reference: diffusion/runner.py:113-129).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

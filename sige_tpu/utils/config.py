@@ -10,7 +10,7 @@ resolving dotted class paths for config-driven engine swaps."""
 from __future__ import annotations
 
 import importlib
-from typing import Any, Dict
+from typing import Any
 
 import yaml
 
