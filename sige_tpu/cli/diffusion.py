@@ -62,12 +62,23 @@ def build_runner(config, restore_from=None):
     )
     params = None
     if restore_from is not None:
-        from ..utils.convert import convert_ddpm_fused_unet, load_torch_state_dict
+        from ..utils.convert import (convert_ddpm_fused_unet,
+                                     convert_ddpm_unet_to_fused,
+                                     load_torch_state_dict)
 
+        # The runner always drives the fused arch (dense mode == the
+        # vanilla network, bit-for-bit; tests/test_vanilla_ddpm.py): a
+        # vanilla checkpoint (network "ddpm.unet") goes through the
+        # temb/qkv-fusing surgery (reference: fused_unet.py:306-355).
+        network = m.get("network", "ddpm.fused_unet")
+        convert = (convert_ddpm_unet_to_fused if network.endswith(".unet")
+                   else convert_ddpm_fused_unet)
         sd = load_torch_state_dict(restore_from)
-        params = convert_ddpm_fused_unet(
-            sd, model_cfg.ch_mult, model_cfg.num_res_blocks,
-            model_cfg.attn_resolutions, model_cfg.resolution)
+        params = convert(
+            sd, ch_mult=model_cfg.ch_mult,
+            num_res_blocks=model_cfg.num_res_blocks,
+            attn_resolutions=model_cfg.attn_resolutions,
+            resolution=model_cfg.resolution)
     return DiffusionRunner(model_cfg, run_cfg, params=params)
 
 

@@ -14,9 +14,11 @@ import numpy as np
 def get_args():
     p = argparse.ArgumentParser(description="SIGE-TPU GauGAN benchmarks")
     p.add_argument("--netG", type=str, default="sige_fused_spade",
-                   choices=("sige_fused_spade", "fused_spade",
-                            "sige_fused_sub_mobile_spade",
-                            "fused_sub_mobile_spade"))
+                   choices=("spade", "fused_spade", "sige_fused_spade",
+                            "sub_mobile_spade", "fused_sub_mobile_spade",
+                            "sige_fused_sub_mobile_spade"))
+    p.add_argument("--restore_from", type=str, default=None,
+                   help="path to a reference .pth checkpoint to convert")
     p.add_argument("--mode", choices=("generate", "profile"), default="generate")
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--input_nc", type=int, default=35)
@@ -52,7 +54,6 @@ def main():
         SPADEGenConfig,
         decode_config,
     )
-    from ..nn import SIGEModel
     from ..runners.gaugan_runner import GauGANRunConfig, GauGANRunner
 
     semantic_nc = args.input_nc + (0 if args.no_instance else 1)
@@ -70,17 +71,35 @@ def main():
         mask_dilate_radius=args.mask_dilate_radius,
         downsample_dilate_radius=args.downsample_dilate_radius,
     )
-    runner = GauGANRunner(model_cfg, run_cfg, seed=args.seed)
+    # The engine always drives the fused archs; unfused checkpoints
+    # ("spade" / "sub_mobile_spade") go through the mlp concatenation
+    # surgery (reference: fused_spade_generator.py:72-160,
+    # fused_sub_mobile_spade_generator.py:77-133).
+    params = None
+    module = None
     if "sub_mobile" in args.netG:
         assert args.config_str, "--config_str required for sub-mobile nets"
-        module = SIGESubMobileSPADEGenerator(
-            cfg=model_cfg, channels=tuple(decode_config(args.config_str)))
-        runner.module = module
-        runner.model = SIGEModel(module)
-        import jax, jax.numpy as jnp
-        h = round(args.crop_size / args.aspect_ratio)
-        runner.model.init(jax.random.key(args.seed),
-                          jnp.zeros((1, h, args.crop_size, semantic_nc)))
+        channels = tuple(decode_config(args.config_str))
+        module = SIGESubMobileSPADEGenerator(cfg=model_cfg, channels=channels)
+        if args.restore_from:
+            from ..utils.convert import (convert_gaugan_sub_mobile_spade,
+                                         load_torch_state_dict)
+
+            params = convert_gaugan_sub_mobile_spade(
+                load_torch_state_dict(args.restore_from), channels=channels,
+                ngf=args.ngf, fused_ckpt="fused" in args.netG)
+    elif args.restore_from:
+        from ..utils.convert import (convert_gaugan_fused_spade,
+                                     convert_gaugan_spade,
+                                     load_torch_state_dict)
+
+        sd = load_torch_state_dict(args.restore_from)
+        params = (convert_gaugan_fused_spade(sd, args.num_upsampling_layers)
+                  if "fused" in args.netG else
+                  convert_gaugan_spade(sd, args.num_upsampling_layers,
+                                       fuse=True))
+    runner = GauGANRunner(model_cfg, run_cfg, params=params, seed=args.seed,
+                          module=module)
 
     if args.synthetic:
         rng = np.random.default_rng(args.seed)

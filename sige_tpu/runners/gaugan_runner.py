@@ -46,10 +46,11 @@ def get_edges(instance: np.ndarray) -> np.ndarray:
 class GauGANRunner:
     def __init__(self, model_cfg: SPADEGenConfig = SPADEGenConfig(),
                  run_cfg: GauGANRunConfig = GauGANRunConfig(),
-                 params=None, seed: int = 0, bucket_min: int = 8):
+                 params=None, seed: int = 0, bucket_min: int = 8,
+                 module=None):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
-        self.module = SIGEFusedSPADEGenerator(cfg=model_cfg)
+        self.module = module or SIGEFusedSPADEGenerator(cfg=model_cfg)
         self.model = SIGEModel(self.module, params, bucket_min=bucket_min)
         if params is None:
             h = round(model_cfg.crop_size / model_cfg.aspect_ratio)

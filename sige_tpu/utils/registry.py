@@ -40,37 +40,37 @@ REGISTRY: Dict[str, CheckpointSpec] = {
             "church256-ddpm-unet.pth",
             "8fbd43a27e98e64b56453faca9be619e",
             f"{_BASE_DIFFUSION}/church256-ddpm-unet.pth",
-            "sige_tpu.utils.convert.convert_ddpm_fused_unet",
+            "sige_tpu.utils.convert.convert_ddpm_vanilla_unet",
         ),
         CheckpointSpec(
             "church128-pd-unet.pth",
             "8a2690eb25d1e2b5367e9574d7b73822",
             f"{_BASE_DIFFUSION}/church128-pd-unet.pth",
-            "",
+            "sige_tpu.utils.convert.convert_pd_unet",
         ),
         CheckpointSpec(
             "spade.pth",
             "21b8b5b29295b7208ba5cb48d818a367",
             f"{_BASE_GAUGAN}/spade.pth",
-            "",
+            "sige_tpu.utils.convert.convert_gaugan_spade",
         ),
         CheckpointSpec(
             "fused_spade.pth",
             "216677f8fe9e0c6564e3f17cbe55c695",
             f"{_BASE_GAUGAN}/fused_spade.pth",
-            "",
+            "sige_tpu.utils.convert.convert_gaugan_fused_spade",
         ),
         CheckpointSpec(
             "sub_mobile_spade-32_32_32_48_32_24_24_32.pth",
             "2f8373ff0433badbea664da90709ca3c",
             f"{_BASE_GAUGAN}/sub_mobile_spade-32_32_32_48_32_24_24_32.pth",
-            "",
+            "sige_tpu.utils.convert.convert_gaugan_sub_mobile_spade",
         ),
         CheckpointSpec(
             "fused_sub_mobile_spade-32_32_32_48_32_24_24_32.pth",
             "530ff557d614df1378d0613f7a0865dc",
             f"{_BASE_GAUGAN}/fused_sub_mobile_spade-32_32_32_48_32_24_24_32.pth",
-            "",
+            "sige_tpu.utils.convert.convert_gaugan_sub_mobile_spade",
         ),
     ]
 }
