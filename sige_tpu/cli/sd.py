@@ -50,12 +50,33 @@ def main():
     unet_cfg = SDUNetConfig()
     run_cfg = SDRunConfig(ddim_steps=args.ddim_steps,
                           guidance_scale=args.scale, strength=args.strength)
-    runner = SDRunner(unet_cfg, vae_cfg, run_cfg, seed=args.seed)
+    params = None
+    if args.restore_from:
+        from ..utils.convert import load_torch_state_dict
+        from ..utils.convert_sd import convert_sd
+
+        params = convert_sd(
+            load_torch_state_dict(args.restore_from),
+            channel_mult=unet_cfg.channel_mult,
+            num_res_blocks=unet_cfg.num_res_blocks,
+            attention_resolutions=unet_cfg.attention_resolutions,
+            transformer_depth=unet_cfg.transformer_depth,
+            vae_ch_mult=vae_cfg.ch_mult,
+            vae_num_res_blocks=vae_cfg.num_res_blocks,
+            vae_attn_resolutions=vae_cfg.attn_resolutions,
+            resolution=vae_cfg.resolution)
+    runner = SDRunner(unet_cfg, vae_cfg, run_cfg, params=params,
+                      seed=args.seed)
 
     uc = c = None
     if args.embeddings:
         z = np.load(args.embeddings)
         uc, c = jnp.asarray(z["uc"]), jnp.asarray(z["c"])
+    elif args.prompt:
+        from ..models.sd.clip import encode_prompts
+
+        emb = encode_prompts(["", args.prompt])
+        uc, c = emb[:1], emb[1:]
 
     if args.synthetic:
         rng = np.random.default_rng(args.seed)

@@ -62,10 +62,15 @@ class SDRunner:
         R = vae_cfg.resolution
         f = 2 ** (len(vae_cfg.ch_mult) - 1)
         self.latent_res = R // f
+        #: optional AutoencoderKL post_quant_conv as a pointwise latent map
+        #: (weight [z, z], bias [z]); the matching quant_conv is folded into
+        #: encoder.conv_out at conversion time (see utils/convert_sd.py)
+        self.post_quant = None
         if params is not None:
             self.unet.params = params.get("unet")
             self.encoder.params = params.get("encoder")
             self.decoder.params = params.get("decoder")
+            self.post_quant = params.get("post_quant")
         else:
             img = jnp.zeros((1, R, R, vae_cfg.in_channels), jnp.float32)
             z = jnp.zeros((1, self.latent_res, self.latent_res,
@@ -86,6 +91,15 @@ class SDRunner:
             moments = self.encoder.sparse(img)
         mean = moments[..., : self.vae_cfg.z_channels]
         return mean * self.run_cfg.scale_factor
+
+    def _pre_decode(self, z_scaled: jnp.ndarray) -> jnp.ndarray:
+        """Unscale + apply post_quant_conv (reference:
+        ldm/models/autoencoder.py:77-81)."""
+        z = z_scaled / self.run_cfg.scale_factor
+        if self.post_quant is not None:
+            w, b = self.post_quant
+            z = jnp.einsum("bhwc,pc->bhwp", z, jnp.asarray(w)) + jnp.asarray(b)
+        return z
 
     def _default_contexts(self, uc, c):
         if c is None:
@@ -128,9 +142,9 @@ class SDRunner:
         self.unet.cache = cache
 
         # decode: prime with full decode of init latent, then sparse decode
-        self.decoder.full(init_latent / rc.scale_factor)
+        self.decoder.full(self._pre_decode(init_latent))
         self.decoder.set_masks(masks)
-        out = self.decoder.sparse(samples / rc.scale_factor)
+        out = self.decoder.sparse(self._pre_decode(samples))
         return np.asarray(out[0])
 
     # ------------------------------------------------------------------
@@ -174,7 +188,7 @@ class SDRunner:
         # decoder: mask re-dilated by 40 at image res, pyramid to min 4
         dec_mask = dilate_mask(diff, rc.decoder_dilate_radius)
         dec_masks = downsample_mask(dec_mask, min_res=(4, 4), dilation=0)
-        self.decoder.full(s_init / rc.scale_factor)
+        self.decoder.full(self._pre_decode(s_init))
         self.decoder.set_masks(dec_masks)
-        out = self.decoder.sparse(s_edit / rc.scale_factor)
+        out = self.decoder.sparse(self._pre_decode(s_edit))
         return np.asarray(out[0])

@@ -172,3 +172,94 @@ def test_vae_tile_chain_matches_unchained():
     np.testing.assert_allclose(yf0, yf1, atol=1e-5)      # full unchanged
     np.testing.assert_allclose(ys1, yf1, atol=2e-4)      # chain exact on orig
     np.testing.assert_allclose(ys0, ys1, atol=2e-4)      # chain == unchained
+
+
+def test_sd_unet_sparse_on_edit_tracks_dense():
+    """Sparse-on-EDITED input must track the dense forward of the edited
+    input (CFG batch-2) — a wrong transformer K/V path fails this
+    (reference contract: example.py:94-95; mirrors
+    test_ddpm_unet.test_sparse_on_edit_tracks_dense)."""
+    from sige_tpu.core.masks import compute_difference_mask
+
+    rng = np.random.default_rng(11)
+    H = W = 24
+    x0 = jnp.asarray(rng.standard_normal((2, H, W, 4)).astype(np.float32))
+    noise = rng.standard_normal((2, H, W, 4)).astype(np.float32)
+    mask = np.zeros((H, W), bool)
+    mask[6:11, 8:13] = True  # ~4% edit (realistic SDEdit scale)
+    x1 = x0 + jnp.asarray(0.6 * noise * mask[None, :, :, None])
+    t = jnp.array([3.0, 3.0], jnp.float32)
+    context = jnp.asarray(rng.standard_normal((2, 7, 16)).astype(np.float32))
+
+    model = SIGEModel(SIGESDUNet(cfg=TINY_UNET), bucket_min=1)
+    model.init(jax.random.key(0), x0, t, context)
+    y_edit_dense = model.full(x1, t, context)  # dense ref on edited input
+    _ = model.full(x0, t, context)             # restore original caches
+    dmask = compute_difference_mask(np.asarray(x0[:1, :, :, :3]),
+                                    np.asarray(x1[:1, :, :, :3]))
+    model.set_masks(downsample_mask(dilate_mask(dmask, 5), min_res=4))
+    y_sparse = model.sparse(x1, t, context)
+    err = np.abs(np.asarray(y_sparse) - np.asarray(y_edit_dense))
+    assert err.max() < 0.15, err.max()
+    assert np.percentile(err, 99) < 0.1
+
+
+def test_sd_decoder_sparse_on_edit_tracks_dense_tile_chain():
+    """Decoder sparse-on-edited (with the tile-resident chain enabled)
+    tracks the dense decode of the edited latent."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(12)
+    R = TINY_VAE.resolution
+    L = R // 2
+    cfg = dc.replace(TINY_VAE, tile_chain=True)
+    z0 = jnp.asarray(rng.standard_normal((1, L, L, 4)).astype(np.float32))
+    lmask = np.zeros((L, L), bool)
+    lmask[L // 4 : L // 4 + 4, L // 3 : L // 3 + 4] = True
+    # moderate edit: at full-std latent noise the *global* mid attention
+    # shifts dense(z1) everywhere and the stale-outside-mask SIGE
+    # semantics dominate the comparison
+    z1 = z0 + jnp.asarray(
+        0.3 * rng.standard_normal((1, L, L, 4)).astype(np.float32)
+        * lmask[None, :, :, None])
+
+    dec = SIGEModel(SIGEDecoder(cfg=cfg), bucket_min=1)
+    dec.init(jax.random.key(5), z0)
+    y_edit_dense = dec.full(z1)
+    _ = dec.full(z0)
+    imask = np.repeat(np.repeat(lmask, 2, 0), 2, 1)  # latent -> image res
+    dec.set_masks(downsample_mask(dilate_mask(imask, 6), min_res=4))
+    y_sparse = dec.sparse(z1)
+    err = np.abs(np.asarray(y_sparse) - np.asarray(y_edit_dense))
+    assert err.max() < 0.1, err.max()
+    assert np.percentile(err, 99) < 0.05
+
+
+def test_sd_unet_bf16_sparse_tracks_fp32():
+    """bf16 inference (the headline-bench dtype) must track fp32 for the
+    SD UNet's sparse path."""
+    from sige_tpu.nn.module import SIGECtx
+
+    rng = np.random.default_rng(13)
+    H = W = 16
+    x = jnp.asarray(rng.standard_normal((2, H, W, 4)).astype(np.float32))
+    t = jnp.array([3.0, 3.0], jnp.float32)
+    context = jnp.asarray(rng.standard_normal((2, 7, 16)).astype(np.float32))
+    mask = make_mask(H, W)
+
+    model = SIGEModel(SIGESDUNet(cfg=TINY_UNET), bucket_min=1)
+    model.init(jax.random.key(0), x, t, context)
+    model.full(x, t, context)
+    model.set_masks(downsample_mask(dilate_mask(mask, 2), min_res=4))
+    y32 = np.asarray(model.sparse(x, t, context))
+
+    bf = jnp.bfloat16
+    cast = lambda tr: jax.tree.map(
+        lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, tr)
+    yb = model.module.apply(
+        {"params": cast(model.params), "cache": cast(model.cache),
+         "sige": model.plan},
+        x.astype(bf), t, context.astype(bf), ctx=SIGECtx(mode="sparse"))
+    err = np.abs(y32 - np.asarray(yb, np.float32))
+    assert err.max() < 0.1, err.max()
+    assert err.mean() < 0.01
