@@ -34,8 +34,48 @@ def get_args():
 
 
 def build_runner(config, restore_from=None):
-    import jax
+    m, s = config.model, config.sampling
+    if m.get("network", "").startswith("pd"):
+        return _build_pd_runner(config, restore_from)
+    return _build_ddpm_runner(config, restore_from)
 
+
+def _build_pd_runner(config, restore_from=None):
+    from ..models.pd import PDUNetConfig
+    from ..runners import PDRunConfig, PDRunner
+
+    m, s = config.model, config.sampling
+    model_cfg = PDUNetConfig(
+        ch=m.ch, ch_mult=tuple(m.ch_mult), num_res_blocks=m.num_res_blocks,
+        attn_resolutions=tuple(m.attn_resolutions), in_ch=m.in_ch,
+        out_ch=m.out_ch, resolution=config.data.image_size,
+        temb_ch=m.get("temb_ch", 768), head_dim=m.get("head_dim", 64),
+        num_heads=m.get("num_heads"),
+        logsnr_input_type=m.get("logsnr_input_type", "inv_cos"),
+        block_size_normal=(m.get("sige_block_size") or {}).get("normal", 6),
+        block_size_instance=(m.get("sige_block_size") or {}).get("instance", 4),
+        sparse_resolution_threshold=m.get("sparse_resolution_threshold", 64),
+    )
+    run_cfg = PDRunConfig(
+        total_steps=s.total_steps, sample_steps=s.sample_steps,
+        noise_level=s.noise_level, skip_type=s.get("skip_type", "uniform"),
+        eps=s.get("eps", 2e-2),
+        mask_dilate_radius=s.get("mask_dilate_radius", 2),
+        rescaled=config.data.get("rescaled", True),
+    )
+    params = None
+    if restore_from is not None:
+        from ..utils.convert import convert_pd_unet, load_torch_state_dict
+
+        params = convert_pd_unet(
+            load_torch_state_dict(restore_from), ch_mult=model_cfg.ch_mult,
+            num_res_blocks=model_cfg.num_res_blocks,
+            attn_resolutions=model_cfg.attn_resolutions,
+            resolution=model_cfg.resolution)
+    return PDRunner(model_cfg, run_cfg, params=params)
+
+
+def _build_ddpm_runner(config, restore_from=None):
     from ..models.ddpm import DDPMUNetConfig
     from ..runners import DiffusionRunConfig, DiffusionRunner
 
