@@ -13,26 +13,16 @@ BASELINE.json. Detail includes the DDPM church256 suite and MACs.
 
 import argparse
 import json
-import time
 
 import numpy as np
 
 
 def _timeit(f, *args, iters=30, batches=3):
-    """Min-of-batches average: robust to scheduler/dispatch noise while
-    measuring the same compiled program."""
-    import jax
+    """Min-of-batches average via a forced host sync (block_until_ready
+    does NOT wait on remote-dispatch backends; see utils.timed_loop)."""
+    from sige_tpu.utils import timed_loop
 
-    y = f(*args)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(batches):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = f(*args)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return best
+    return timed_loop(f, args, warmup=3, iters=iters, batches=batches)
 
 
 def _edit_mask(R, pct=1.2, dilate=5):

@@ -175,13 +175,18 @@ def reduce_mask(mask, geom: BlockGeometry, verbose: bool = False) -> np.ndarray:
 
 
 def round_to_bucket(n: int, minimum: int = 8) -> int:
-    """Round a tile count up to a capacity bucket (next power of two, with a
-    floor) so jitted sparse functions recompile only on bucket changes."""
+    """Round a tile count up to a capacity bucket so jitted sparse
+    functions recompile only on bucket changes.
+
+    Buckets are quarter-steps between powers of two (…, 512, 640, 768,
+    896, 1024, 1280, …): padded-capacity waste is bounded at 25% (pure
+    powers of two waste up to 100%, which at large tile counts costs more
+    tile-conv time than the extra recompiles)."""
     n = max(int(n), 1)
-    cap = minimum
-    while cap < n:
-        cap *= 2
-    return cap
+    if n <= minimum:
+        return minimum
+    step = max((1 << (int(n - 1).bit_length() - 1)) // 4, minimum)
+    return -(-n // step) * step
 
 
 def reduce_mask_padded(

@@ -141,6 +141,35 @@ def build_sg_sources(
     return sg_src, flat
 
 
+def bbox_of_map(m: np.ndarray, mult: int = 32):
+    """Crop a source map to the bounding box of its covered (>= 0) pixels.
+
+    Returns ``(origin, box)`` with ``origin`` int32[2] = (r0, c0) and
+    ``box = m[r0:r0+BH, c0:c0+BW]``; BH/BW are rounded up to multiples of
+    ``mult`` (bucketing — the box *shape* is compile-time static, so
+    edits of similar size reuse the compiled program; the *origin* ships
+    as a device scalar, so moving an edit never retraces) and clamped to
+    the map. An empty map yields a minimal all-(-1) box.
+    """
+    H, W = m.shape
+    cov = m >= 0
+    rows = np.flatnonzero(cov.any(axis=1))
+    cols = np.flatnonzero(cov.any(axis=0))
+
+    def fit(lo, hi, limit):
+        size = min(-(-(hi - lo) // mult) * mult, limit)
+        return min(int(lo), limit - size), size
+
+    if rows.size == 0:
+        r0, bh = 0, min(mult, H)
+        c0, bw = 0, min(mult, W)
+    else:
+        r0, bh = fit(rows[0], rows[-1] + 1, H)
+        c0, bw = fit(cols[0], cols[-1] + 1, W)
+    origin = np.array([r0, c0], np.int32)
+    return origin, np.ascontiguousarray(m[r0:r0 + bh, c0:c0 + bw])
+
+
 def gather_position_geom(geom: BlockGeometry) -> BlockGeometry:
     """Pseudo-geometry whose conv-output tiles ARE the gather blocks:
     origins = raw indices, extent = block size. Feeding this to

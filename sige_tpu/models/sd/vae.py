@@ -30,7 +30,7 @@ from ...nn.module import (
     _read_slot,
     sow_macs,
 )
-from ...ops.scatter import materialize_tiles, scatter_gather_residual_tiles
+from ...ops.scatter import materialize_tiles_box, scatter_gather_residual_tiles
 from ...nn.norm import group_norm_with_affine
 from ..ddpm.unet import _FoldedGroupNorm, _swish
 
@@ -40,14 +40,16 @@ class TileState:
     at the shared gather positions, plus what a consumer needs to
     materialize the full map."""
 
-    def __init__(self, tiles, y0, pix_src, geom):
+    def __init__(self, tiles, y0, pix_box, pix_org, geom):
         self.tiles = tiles
         self.y0 = y0
-        self.pix_src = pix_src
+        self.pix_box = pix_box
+        self.pix_org = pix_org
         self.geom = geom
 
     def to_map(self):
-        return materialize_tiles(self.tiles, self.y0, self.pix_src, self.geom)
+        return materialize_tiles_box(self.tiles, self.y0, self.pix_box,
+                                     self.pix_org, self.geom)
 
 
 def _ensure_map(x):
@@ -180,7 +182,7 @@ class SIGEVAEResnetBlock(SIGEModule):
         y0 = _read_slot(cache, ctx.cache_id)
         res = y0.shape[1:3]
         sg_src, sg_flat = self.main_gather.read_sg(res)
-        pix_src = self.main_gather.read_pixsrc(res)
+        pix_box, pix_org = self.main_gather.read_pixsrc(res)
 
         if isinstance(x, TileState):
             T = x.tiles
@@ -204,7 +206,7 @@ class SIGEVAEResnetBlock(SIGEModule):
         h = self.sg(h, ctx, scale=s2, shift=b2)
         h = self.conv2(h, ctx)
         T2 = scatter_gather_residual_tiles(h, y0, T, sg_src, sg_flat, geom)
-        return TileState(T2, y0, pix_src, geom)
+        return TileState(T2, y0, pix_box, pix_org, geom)
 
 
 class SIGEVAEAttnBlock(SIGEModule):

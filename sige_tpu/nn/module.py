@@ -40,8 +40,8 @@ from ..ops import (
     conv2d_nhwc,
     gather_tiles,
     scatter_gather_tiles,
-    scatter_tiles,
-    scatter_with_block_residual,
+    scatter_tiles_box,
+    scatter_with_block_residual_box,
 )
 
 IntPair = Tuple[int, int]
@@ -162,7 +162,11 @@ class Gather(SIGEModule):
         )
 
     def read_src_map(self, res: IntPair):
-        return self.get_variable("sige", f"srcmap_{res[0]}x{res[1]}")
+        """(box, origin) — bbox-cropped source map (see planner)."""
+        return (
+            self.get_variable("sige", f"srcbox_{res[0]}x{res[1]}"),
+            self.get_variable("sige", f"srcorg_{res[0]}x{res[1]}"),
+        )
 
     def read_sg(self, res: IntPair):
         return (
@@ -171,7 +175,11 @@ class Gather(SIGEModule):
         )
 
     def read_pixsrc(self, res: IntPair):
-        return self.get_variable("sige", f"pixsrc_{res[0]}x{res[1]}")
+        """(box, origin) — bbox-cropped pixel-source map (see planner)."""
+        return (
+            self.get_variable("sige", f"pixbox_{res[0]}x{res[1]}"),
+            self.get_variable("sige", f"pixorg_{res[0]}x{res[1]}"),
+        )
 
 
 def _slotted_cache(mod: nn.Module, name: str, value: jnp.ndarray, slots: int,
@@ -213,8 +221,8 @@ class Scatter(SIGEModule):
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
             y = _read_slot(cache, ctx.cache_id)
-            src_map = self.gather.read_src_map(y.shape[1:3])
-            out = scatter_tiles(x, y, src_map, self.gather.geom, residual)
+            box, org = self.gather.read_src_map(y.shape[1:3])
+            out = scatter_tiles_box(x, y, box, org, self.gather.geom, residual)
             if ctx.sparse_update and self.is_mutable_collection("cache"):
                 self.put_variable("cache", "original", cache.at[ctx.cache_id].set(out))
             return out
@@ -250,8 +258,8 @@ class ScatterGather(SIGEModule):
                 scale, shift, self.activation, self.activation_first,
             )
             if ctx.sparse_update and self.is_mutable_collection("cache"):
-                src_map = self.gather.read_src_map(y.shape[1:3])
-                updated = scatter_tiles(x, y, src_map, geom)
+                box, org = self.gather.read_src_map(y.shape[1:3])
+                updated = scatter_tiles_box(x, y, box, org, geom)
                 self.put_variable("cache", "original", cache.at[ctx.cache_id].set(updated))
             return out
         raise ValueError(f"unknown mode {ctx.mode}")
@@ -282,17 +290,17 @@ class ScatterWithBlockResidual(SIGEModule):
             y0 = _read_slot(caches, ctx.cache_id)
             y1 = _read_slot(res_caches, ctx.cache_id)
             res = y0.shape[1:3]
-            m_src = self.main_gather.read_src_map(res)
-            s_src = self.shortcut_gather.read_src_map(res)
-            out = scatter_with_block_residual(
+            m_box, m_org = self.main_gather.read_src_map(res)
+            s_box, s_org = self.shortcut_gather.read_src_map(res)
+            out = scatter_with_block_residual_box(
                 x, y0, residual, y1,
-                m_src, self.main_gather.geom,
-                s_src, self.shortcut_gather.geom,
+                m_box, m_org, self.main_gather.geom,
+                s_box, s_org, self.shortcut_gather.geom,
             )
             if ctx.sparse_update and self.is_mutable_collection("cache"):
                 self.put_variable("cache", "original", caches.at[ctx.cache_id].set(out))
-                new_res = scatter_tiles(
-                    residual, y1, s_src, self.shortcut_gather.geom)
+                new_res = scatter_tiles_box(
+                    residual, y1, s_box, s_org, self.shortcut_gather.geom)
                 self.put_variable("cache", "residual", res_caches.at[ctx.cache_id].set(new_res))
             return out
         raise ValueError(f"unknown mode {ctx.mode}")

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core.geometry import BlockGeometry
 from ..core.masks import reduce_mask_padded
-from ..core.scatter_map import (build_sg_sources, build_src_map,
+from ..core.scatter_map import (bbox_of_map, build_sg_sources, build_src_map,
                                 gather_position_geom)
 
 IntPair = Tuple[int, int]
@@ -105,11 +105,18 @@ def build_plan(
             def _reses(key):
                 return sorted({tuple(int(i) for i in np.asarray(a))
                                for a in node.get(key, ())})
+            # Scatter source maps ship bbox-cropped: a full-map take at
+            # gather throughput costs ~a dense conv at 256^2 (see
+            # ops/scatter.py scatter_tiles_box); box shape is bucketed so
+            # similar edits reuse compiled programs.
             for ores in _reses("scatter_res"):
                 okey = ("srcmap", res, geom, cap, ores)
                 if okey not in _memo:
-                    _memo[okey] = build_src_map(indices, count, geom, ores)
-                entry[f"srcmap_{ores[0]}x{ores[1]}"] = _memo[okey]
+                    _memo[okey] = bbox_of_map(
+                        build_src_map(indices, count, geom, ores))
+                org, box = _memo[okey]
+                entry[f"srcbox_{ores[0]}x{ores[1]}"] = box
+                entry[f"srcorg_{ores[0]}x{ores[1]}"] = org
             for ores in _reses("sg_res"):
                 okey = ("sg", res, geom, cap, ores)
                 if okey not in _memo:
@@ -119,9 +126,11 @@ def build_plan(
             for ores in _reses("pixsrc_res"):
                 okey = ("pixsrc", res, geom, cap, ores)
                 if okey not in _memo:
-                    _memo[okey] = build_src_map(
-                        indices, count, gather_position_geom(geom), ores)
-                entry[f"pixsrc_{ores[0]}x{ores[1]}"] = _memo[okey]
+                    _memo[okey] = bbox_of_map(build_src_map(
+                        indices, count, gather_position_geom(geom), ores))
+                org, box = _memo[okey]
+                entry[f"pixbox_{ores[0]}x{ores[1]}"] = box
+                entry[f"pixorg_{ores[0]}x{ores[1]}"] = org
             plan[name] = entry
         elif isinstance(node, Mapping):
             sub = build_plan(node, masks, bucket_min, capacities,

@@ -11,9 +11,12 @@ from .conv import conv2d_nhwc, tile_conv2d
 from .gather import apply_epilogue, gather_tiles
 from .scatter import (
     calibrate_residual,
+    materialize_tiles_box,
     scatter_gather_tiles,
     scatter_tiles,
+    scatter_tiles_box,
     scatter_with_block_residual,
+    scatter_with_block_residual_box,
 )
 
 __all__ = [
@@ -22,7 +25,10 @@ __all__ = [
     "gather_tiles",
     "apply_epilogue",
     "scatter_tiles",
+    "scatter_tiles_box",
     "scatter_gather_tiles",
     "scatter_with_block_residual",
+    "scatter_with_block_residual_box",
+    "materialize_tiles_box",
     "calibrate_residual",
 ]

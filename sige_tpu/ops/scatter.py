@@ -77,6 +77,123 @@ def scatter_tiles(
     return jnp.where(covered, fresh, cache)
 
 
+def _slice_box(full, origin, BH, BW):
+    """Dynamic [B, BH, BW, C] window of a full map at ``origin`` (r0, c0)."""
+    B, _, _, C = full.shape
+    zero = jnp.int32(0)
+    return jax.lax.dynamic_slice(
+        full, (zero, origin[0], origin[1], zero), (B, BH, BW, C))
+
+
+@partial(jax.jit, static_argnames=("geom",))
+def scatter_tiles_box(
+    tiles: jnp.ndarray,
+    cache: jnp.ndarray,
+    src_box: jnp.ndarray,
+    origin: jnp.ndarray,
+    geom: BlockGeometry,
+    residual: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Bounding-box form of :func:`scatter_tiles` — the TPU-native join.
+
+    A full-map gather producing H*W rows from a small tile table runs at
+    gather throughput over the WHOLE map (~100us at 256^2x128 on v5e)
+    even though only the covered ~1-3% changes. The planner therefore
+    crops the source map to the bounding box of the covered pixels
+    (``src_box`` [BH, BW], ``origin`` = (r0, c0) int32[2], dims bucketed
+    so the program is reused across edits): the join becomes a tiny
+    gather + select over the box and ONE ``dynamic_update_slice`` into
+    the cache. Cost scales with the edit's bbox, not the canvas; with
+    box == whole map it degenerates to :func:`scatter_tiles`.
+    """
+    B, H, W, C = cache.shape
+    R, S = geom.out_tile_size
+    K = tiles.shape[0] // B
+    t = tiles.reshape(B, K * R * S, C)
+    BH, BW = src_box.shape
+    fresh = jnp.take(t, jnp.maximum(src_box.reshape(-1), 0),
+                     axis=1).reshape(B, BH, BW, C)
+    sl = _slice_box(cache, origin, BH, BW)
+    if residual is not None:
+        r = _broadcast_param(residual, cache)
+        if r.shape[1] == H and r.shape[2] == W:
+            r = _slice_box(r, origin, BH, BW)
+        fresh = fresh + r
+    upd = jnp.where((src_box >= 0)[None, :, :, None], fresh, sl)
+    zero = jnp.int32(0)
+    return jax.lax.dynamic_update_slice(
+        cache, upd, (zero, origin[0], origin[1], zero))
+
+
+@partial(jax.jit, static_argnames=("main_geom", "shortcut_geom"))
+def scatter_with_block_residual_box(
+    main_tiles: jnp.ndarray,
+    cache_out: jnp.ndarray,
+    shortcut_tiles: jnp.ndarray,
+    cache_residual: jnp.ndarray,
+    main_src_box: jnp.ndarray,
+    main_origin: jnp.ndarray,
+    main_geom: BlockGeometry,
+    shortcut_src_box: jnp.ndarray,
+    shortcut_origin: jnp.ndarray,
+    shortcut_geom: BlockGeometry,
+) -> jnp.ndarray:
+    """Bounding-box form of :func:`scatter_with_block_residual`: two
+    staged box updates (main join, then the shortcut delta correction),
+    each touching only its own bbox."""
+    B, H, W, C = cache_out.shape
+    Rm, Sm = main_geom.out_tile_size
+    Rs, Ss = shortcut_geom.out_tile_size
+    Km = main_tiles.shape[0] // B
+    Ks = shortcut_tiles.shape[0] // B
+    tm = main_tiles.reshape(B, Km * Rm * Sm, C)
+    ts = shortcut_tiles.reshape(B, Ks * Rs * Ss, C)
+    zero = jnp.int32(0)
+
+    MH, MW = main_src_box.shape
+    fresh_m = jnp.take(tm, jnp.maximum(main_src_box.reshape(-1), 0),
+                       axis=1).reshape(B, MH, MW, C)
+    y1_m = _slice_box(cache_residual, main_origin, MH, MW)
+    y0_m = _slice_box(cache_out, main_origin, MH, MW)
+    box_m = jnp.where((main_src_box >= 0)[None, :, :, None],
+                      fresh_m + y1_m, y0_m)
+    out = jax.lax.dynamic_update_slice(
+        cache_out, box_m, (zero, main_origin[0], main_origin[1], zero))
+
+    SH, SW = shortcut_src_box.shape
+    fresh_s = jnp.take(ts, jnp.maximum(shortcut_src_box.reshape(-1), 0),
+                       axis=1).reshape(B, SH, SW, C)
+    y1_s = _slice_box(cache_residual, shortcut_origin, SH, SW)
+    base = _slice_box(out, shortcut_origin, SH, SW)
+    delta = jnp.where((shortcut_src_box >= 0)[None, :, :, None],
+                      fresh_s - y1_s, jnp.zeros((), base.dtype))
+    return jax.lax.dynamic_update_slice(
+        out, base + delta, (zero, shortcut_origin[0], shortcut_origin[1], zero))
+
+
+@partial(jax.jit, static_argnames=("geom",))
+def materialize_tiles_box(
+    tile_state: jnp.ndarray,
+    cache: jnp.ndarray,
+    pix_box: jnp.ndarray,
+    origin: jnp.ndarray,
+    geom: BlockGeometry,
+) -> jnp.ndarray:
+    """Bounding-box form of :func:`materialize_tiles`."""
+    B, H, W, C = cache.shape
+    bh, bw = geom.block_size
+    K = tile_state.shape[0] // B
+    t = tile_state.reshape(B, K * bh * bw, C)
+    BH, BW = pix_box.shape
+    fresh = jnp.take(t, jnp.maximum(pix_box.reshape(-1), 0),
+                     axis=1).reshape(B, BH, BW, C)
+    sl = _slice_box(cache, origin, BH, BW)
+    upd = jnp.where((pix_box >= 0)[None, :, :, None], fresh, sl)
+    zero = jnp.int32(0)
+    return jax.lax.dynamic_update_slice(
+        cache, upd, (zero, origin[0], origin[1], zero))
+
+
 @partial(jax.jit, static_argnames=("geom",))
 def calibrate_residual(
     out: jnp.ndarray,

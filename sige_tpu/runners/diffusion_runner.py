@@ -6,14 +6,14 @@ in full mode to record shapes, build the mask pyramid down to the
 bottleneck resolution, set masks, then for each denoising step run the
 full pass on the original trajectory and the sparse pass on the edited
 one. Here the denoising loop is one fused lax.scan
-(:mod:`sige_tpu.samplers.ddim_ddpm`), and profiling uses
-``block_until_ready`` timing plus the analytic MACs collection.
+(:mod:`sige_tpu.samplers.ddim_ddpm`), and profiling uses forced-host-sync
+timing (:func:`sige_tpu.utils.timed_loop`) plus the analytic MACs
+collection.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Dict, Tuple
 
 import jax
@@ -170,17 +170,9 @@ class DiffusionRunner:
         def fwd(v, x):
             return self.module.apply(v, x, t0, ctx=ctx)
 
-        for _ in range(warmup):
-            y = fwd(variables, x1)
-        y.block_until_ready()
-        latency_ms = float("inf")
-        for _ in range(3):  # min-of-batches: robust to dispatch noise
-            start = time.perf_counter()
-            for _ in range(iters):
-                y = fwd(variables, x1)
-            y.block_until_ready()
-            latency_ms = min(latency_ms,
-                             (time.perf_counter() - start) / iters * 1e3)
+        from ..utils import timed_loop
+        latency_ms = timed_loop(fwd, (variables, x1),
+                                warmup=warmup, iters=iters)
 
         _, mut = jax.jit(lambda v, x: self.module.apply(
             v, x, t0, ctx=ctx, mutable=["profile", "cache", "meta"]))(variables, x1)

@@ -10,7 +10,6 @@ on the edited semantics. Single-shot (no denoising loop).
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -111,17 +110,9 @@ class GauGANRunner:
         def fwd(v, x):
             return self.module.apply(v, x, ctx=ctx)
 
-        for _ in range(warmup):
-            y = fwd(variables, x1)
-        y.block_until_ready()
-        latency_ms = float("inf")
-        for _ in range(3):  # min-of-batches: robust to dispatch noise
-            start = time.perf_counter()
-            for _ in range(iters):
-                y = fwd(variables, x1)
-            y.block_until_ready()
-            latency_ms = min(latency_ms,
-                             (time.perf_counter() - start) / iters * 1e3)
+        from ..utils import timed_loop
+        latency_ms = timed_loop(fwd, (variables, x1),
+                                warmup=warmup, iters=iters)
 
         _, mut = jax.jit(lambda v, x: self.module.apply(
             v, x, ctx=ctx, mutable=["profile", "cache", "meta"]))(variables, x1)

@@ -9,7 +9,6 @@ diffusion/samplers/pd_sampler.py; configs church_pd{128,256}-*.yml).
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Dict, Tuple
 
 import jax
@@ -111,17 +110,9 @@ class PDRunner:
         def fwd(v, x):
             return self.module.apply(v, x, ls, ctx=ctx)
 
-        for _ in range(warmup):
-            y = fwd(variables, x1)
-        y.block_until_ready()
-        latency_ms = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            for _ in range(iters):
-                y = fwd(variables, x1)
-            y.block_until_ready()
-            latency_ms = min(latency_ms,
-                             (time.perf_counter() - start) / iters * 1e3)
+        from ..utils import timed_loop
+        latency_ms = timed_loop(fwd, (variables, x1),
+                                warmup=warmup, iters=iters)
 
         _, mut = jax.jit(lambda v, x: self.module.apply(
             v, x, ls, ctx=ctx, mutable=["profile", "cache", "meta"]))(variables, x1)
