@@ -87,6 +87,88 @@ def bench_sd_unet(iters, dtype="bfloat16"):
     }
 
 
+def bench_vae_decoder(iters, dtype="bfloat16"):
+    """SD VAE decoder @512, dilate-40 decode mask (the reference's decoder
+    benchmark; reference: stable-diffusion/README.md:104-110)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sige_tpu.core.masks import dilate_mask, downsample_mask
+    from sige_tpu.models.sd import SDVAEConfig, SIGEDecoder
+    from sige_tpu.nn import SIGEModel
+    from sige_tpu.nn.module import SIGECtx
+
+    dt = jnp.dtype(dtype)
+    dec = SIGEModel(SIGEDecoder(cfg=SDVAEConfig(resolution=512)),
+                    layout="window")
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 64, 64, 4)).astype(np.float32))
+    dec.init(jax.random.key(0), z)
+    dec.full(z)
+    mask = _edit_mask(512, dilate=0)
+    dec.set_masks(downsample_mask(dilate_mask(mask, 40), min_res=(4, 4),
+                                  dilation=0))
+    cast = lambda tr: jax.tree.map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, tr)
+    v = {"params": cast(dec.params), "cache": cast(dec.cache),
+         "sige": dec.plan}
+    zb = z.astype(dt)
+    fs = jax.jit(lambda v, x: dec.module.apply(v, x, ctx=SIGECtx(mode="sparse")))
+    fd = jax.jit(lambda p, x: dec.module.apply({"params": p}, x,
+                                               ctx=SIGECtx(mode="dense")))
+    return {
+        "dense_ms": round(_timeit(fd, cast(dec.params), zb, iters=iters), 2),
+        "sparse_ms": round(_timeit(fs, v, zb, iters=iters), 2),
+        "dtype": str(dtype),
+    }
+
+
+def bench_gaugan(iters):
+    """GauGAN 512x256 fused SPADE at a ~1.4% semantic edit (fp32 — the
+    reference's gaugan suite precision)."""
+    from sige_tpu.runners import GauGANRunConfig, GauGANRunner
+
+    runner = GauGANRunner()
+    rng = np.random.default_rng(0)
+    H, W = 256, 512
+    l0 = rng.integers(0, 34, (H, W))
+    l1 = l0.copy()
+    side = int(round((0.012 * H * W) ** 0.5))
+    l1[H // 3: H // 3 + side, W // 3: W // 3 + side] = 34
+    s0 = runner.preprocess_input(l0, l0)
+    s1 = runner.preprocess_input(l1, l1)
+    sparse = runner.profile(s0, s1, warmup=5, iters=iters)
+    dense = runner.profile(s0, s1, warmup=5, iters=iters, mode="dense")
+    return {
+        "dense_ms": round(dense["latency_ms"], 2),
+        "sparse_ms": round(sparse["latency_ms"], 2),
+        "dense_gmacs": round(dense["macs_g"], 1),
+        "sparse_gmacs": round(sparse["macs_g"], 1),
+    }
+
+
+def bench_pd(iters):
+    """PD church256 at a ~1.2% edit (fp32)."""
+    from sige_tpu.runners import PDRunner
+
+    runner = PDRunner()
+    rng = np.random.default_rng(0)
+    original = rng.random((256, 256, 3)).astype(np.float32)
+    edited = original.copy()
+    side = int(round((0.012 * 256 * 256) ** 0.5))
+    r = 128 - side // 2
+    edited[r: r + side, r: r + side] = rng.random((side, side, 3))
+    sparse = runner.profile(original, edited, warmup=5, iters=iters)
+    dense = runner.profile(original, edited, warmup=5, iters=iters,
+                           mode="dense")
+    return {
+        "dense_ms": round(dense["latency_ms"], 2),
+        "sparse_ms": round(sparse["latency_ms"], 2),
+        "dense_gmacs": round(dense["macs_g"], 1),
+        "sparse_gmacs": round(sparse["macs_g"], 1),
+    }
+
+
 def bench_ddpm(iters):
     from sige_tpu.models.ddpm import DDPMUNetConfig
     from sige_tpu.nn.module import SIGECtx
@@ -114,7 +196,10 @@ def main():
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         help="bench dtype for BOTH modes (fair comparison)")
-    parser.add_argument("--skip_ddpm", action="store_true")
+    parser.add_argument("--families", type=str,
+                        default="ddpm,decoder,gaugan,pd",
+                        help="extra per-family details (comma list of "
+                             "ddpm,decoder,gaugan,pd; empty = SD UNet only)")
     args = parser.parse_args()
 
     from sige_tpu.utils import enable_compilation_cache
@@ -124,8 +209,15 @@ def main():
 
     sd = bench_sd_unet(args.iters, args.dtype)
     detail = {"sd_unet_512": sd, "device": str(jax.devices()[0])}
-    if not args.skip_ddpm:
+    fams = {f for f in args.families.split(",") if f}
+    if "ddpm" in fams:
         detail["ddpm_church256"] = bench_ddpm(args.iters)
+    if "decoder" in fams:
+        detail["sd_vae_decoder_512"] = bench_vae_decoder(args.iters, args.dtype)
+    if "gaugan" in fams:
+        detail["gaugan_512x256"] = bench_gaugan(args.iters)
+    if "pd" in fams:
+        detail["pd_church256"] = bench_pd(args.iters)
 
     speedup = sd["dense_ms"] / sd["sparse_ms"]
     result = {

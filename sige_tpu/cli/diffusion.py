@@ -167,7 +167,18 @@ def main():
 
         rows = []
         for name, original, edited in pairs:
+            import time as _time
+
+            t0 = _time.perf_counter()
             out = runner.generate(original, edited, seed=args.seed)
+            dt = _time.perf_counter() - t0
+            stats = runner.model.stats()
+            tiles = sum(v["tiles"] for v in stats.values())
+            cap = sum(v["capacity"] for v in stats.values())
+            # per-image log line (reference: diffusion/runner.py:236-245)
+            print(f"Image {name}: Edit Ratio "
+                  f"{100 * runner.last_edit_ratio:.2f}%    "
+                  f"Tiles {tiles}/{cap}    Time {dt:.2f}s")
             if args.save_dir:
                 path = os.path.join(args.save_dir, f"{name}.png")
                 save_image(path, out)

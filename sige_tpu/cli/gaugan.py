@@ -131,6 +131,11 @@ def main():
                   f"Avg Time {stats['latency_ms']:.3f}ms")
         else:
             out = runner.generate(s0, s1)
+            stats = runner.model.stats()
+            print(f"Image {item['name']}: Edit Ratio "
+                  f"{100 * runner.last_edit_ratio:.2f}%    Tiles "
+                  f"{sum(v['tiles'] for v in stats.values())}/"
+                  f"{sum(v['capacity'] for v in stats.values())}")
             if args.save_dir:
                 from ..data import save_image
 

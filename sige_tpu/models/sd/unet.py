@@ -329,6 +329,7 @@ class SIGESpatialTransformer(SIGEModule):
                 h = x * s[:, None, None, :] + b[:, None, None, :]
         h = self.proj_in(h, ctx)
 
+        h_shape = h.shape
         if self.sparse_ok:
             full = self.scatter1(h, ctx)  # full map (cached in full mode)
             full_tok = full.reshape(B, H * W, self.inner)
@@ -336,9 +337,8 @@ class SIGESpatialTransformer(SIGEModule):
                 tok = full_tok
                 full_arg = None
             else:
-                bs = self.cfg.transformer_block_size
-                K = h.shape[0] // B
-                tok = h.reshape(B, K * bs * bs, self.inner)
+                # tile layout: [B*K, bs, bs, C]; window: [B, WH, WW, C]
+                tok = h.reshape(B, -1, self.inner)
                 full_arg = full_tok
         else:
             tok = h.reshape(B, H * W, self.inner)
@@ -348,8 +348,7 @@ class SIGESpatialTransformer(SIGEModule):
             tok = block(tok, ctx, full_x=full_arg, context=context)
 
         if self.sparse_ok and sparse:
-            bs = self.cfg.transformer_block_size
-            h = tok.reshape(B * (tok.shape[1] // (bs * bs)), bs, bs, self.inner)
+            h = tok.reshape(h_shape)
         else:
             h = tok.reshape(B, H, W, self.inner)
         h = self.proj_out(h, ctx)

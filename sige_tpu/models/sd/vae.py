@@ -132,7 +132,8 @@ class SIGEVAEResnetBlock(SIGEModule):
                 and self.in_channels == self.out_channels)
 
     def __call__(self, x, ctx: SIGECtx):
-        if ctx.mode == "sparse" and self._chainable and not ctx.sparse_update:
+        if (ctx.mode == "sparse" and self._chainable and not ctx.sparse_update
+                and not self.main_gather.planned_window()):
             return self._chain_sparse(x, ctx)
         x = _ensure_map(x)
         h, xs = x, x
@@ -259,10 +260,10 @@ class SIGEVAEAttnBlock(SIGEModule):
             k = self.k_scatter(k, ctx)  # full map (cache in full mode)
             v = self.v_scatter(v, ctx)
 
+        q_shape = q.shape
         if sparse and self.sparse_ok:
-            bs = self.cfg.attn_block_size
-            K = q.shape[0] // B
-            qt = q.reshape(B, K * bs * bs, C)         # tile-token queries
+            # tile layout: [B*K, bs, bs, C]; window layout: [B, WH, WW, C]
+            qt = q.reshape(B, -1, C)
         else:
             Hq, Wq = q.shape[1:3]
             qt = q.reshape(B, Hq * Wq, C)
@@ -276,8 +277,7 @@ class SIGEVAEAttnBlock(SIGEModule):
         sow_macs(self, 2 * B * qt.shape[1] * kt.shape[1] * C)
 
         if sparse and self.sparse_ok:
-            bs = self.cfg.attn_block_size
-            out = out.reshape(B * (out.shape[1] // (bs * bs)), bs, bs, C)
+            out = out.reshape(q_shape)
         else:
             out = out.reshape(B, Hk, Wk, C)
         out = self.proj_out(out, ctx)

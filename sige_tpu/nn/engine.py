@@ -31,7 +31,7 @@ class SIGEModel:
     """
 
     def __init__(self, module, params: Optional[Mapping] = None,
-                 bucket_min: int = 8):
+                 bucket_min: int = 8, layout: str = "tiles"):
         self.module = module
         self.params = params
         self.cache: Dict = {}
@@ -39,6 +39,10 @@ class SIGEModel:
         self._meta_host = None
         self.plan: Dict = {}
         self.bucket_min = bucket_min
+        #: "tiles" (fixed-capacity tile buffers — scattered multi-region
+        #: edits) or "window" (one contiguous bucketed crop window per
+        #: resolution — compact edits; see ops/window.py)
+        self.layout = layout
         self.capacities: Dict = {}
 
         def full_apply(params, cache, cache_id, args, kwargs):
@@ -97,7 +101,7 @@ class SIGEModel:
             self._meta_host = jax.device_get(self.meta)
         plan = build_plan(
             self._meta_host, masks, self.bucket_min,
-            capacities or self.capacities
+            capacities or self.capacities, layout=self.layout,
         )
         # one batched H2D for the whole plan (per-leaf transfers are ~50ms
         # each through a remote-dispatch tunnel)

@@ -43,6 +43,12 @@ from ..ops import (
     scatter_tiles_box,
     scatter_with_block_residual_box,
 )
+from ..ops.window import (
+    window_gather,
+    window_scatter,
+    window_scatter_block_residual,
+    window_scatter_gather,
+)
 
 IntPair = Tuple[int, int]
 
@@ -137,6 +143,12 @@ class Gather(SIGEModule):
                 "full mode never fuses epilogues; apply the norm densely")
             return x
         if ctx.mode == "sparse":
+            if self.planned_window():
+                return window_gather(
+                    x, self.get_variable("sige", "win_in"),
+                    self.get_variable("sige", "win_edge"),
+                    scale, shift, self.activation, self.activation_first,
+                )
             idx = self.get_variable("sige", "indices")
             count = self.get_variable("sige", "count")
             return gather_tiles(
@@ -181,6 +193,23 @@ class Gather(SIGEModule):
             self.get_variable("sige", f"pixorg_{res[0]}x{res[1]}"),
         )
 
+    # --- window layout (ops/window.py; planner layout="window") ----------
+    def planned_window(self) -> bool:
+        return self.has_variable("sige", "win_in")
+
+    def read_wsc(self, res: IntPair):
+        return (
+            self.get_variable("sige", f"wsc_org_{res[0]}x{res[1]}"),
+            self.get_variable("sige", f"wsc_cov_{res[0]}x{res[1]}"),
+        )
+
+    def read_wsg(self, res: IntPair):
+        return (
+            self.get_variable("sige", f"wsg_in_{res[0]}x{res[1]}"),
+            self.get_variable("sige", f"wsg_edge_{res[0]}x{res[1]}"),
+            self.get_variable("sige", f"wsg_cov_{res[0]}x{res[1]}"),
+        )
+
 
 def _slotted_cache(mod: nn.Module, name: str, value: jnp.ndarray, slots: int,
                    cache_id) -> jnp.ndarray:
@@ -221,8 +250,13 @@ class Scatter(SIGEModule):
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
             y = _read_slot(cache, ctx.cache_id)
-            box, org = self.gather.read_src_map(y.shape[1:3])
-            out = scatter_tiles_box(x, y, box, org, self.gather.geom, residual)
+            if self.gather.planned_window():
+                org, cov = self.gather.read_wsc(y.shape[1:3])
+                out = window_scatter(x, y, org, cov, residual)
+            else:
+                box, org = self.gather.read_src_map(y.shape[1:3])
+                out = scatter_tiles_box(x, y, box, org, self.gather.geom,
+                                        residual)
             if ctx.sparse_update and self.is_mutable_collection("cache"):
                 self.put_variable("cache", "original", cache.at[ctx.cache_id].set(out))
             return out
@@ -251,14 +285,27 @@ class ScatterGather(SIGEModule):
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
             y = _read_slot(cache, ctx.cache_id)
-            sg_src, sg_flat = self.gather.read_sg(y.shape[1:3])
             geom = self.gather.geom
+            res = y.shape[1:3]
+            if self.gather.planned_window():
+                meta, edge, cov = self.gather.read_wsg(res)
+                out = window_scatter_gather(
+                    x, y, meta, edge, cov, geom.offset,
+                    scale, shift, self.activation, self.activation_first,
+                )
+                if ctx.sparse_update and self.is_mutable_collection("cache"):
+                    org, wcov = self.gather.read_wsc(res)
+                    updated = window_scatter(x, y, org, wcov)
+                    self.put_variable(
+                        "cache", "original", cache.at[ctx.cache_id].set(updated))
+                return out
+            sg_src, sg_flat = self.gather.read_sg(res)
             out = scatter_gather_tiles(
                 x, y, sg_src, sg_flat, geom,
                 scale, shift, self.activation, self.activation_first,
             )
             if ctx.sparse_update and self.is_mutable_collection("cache"):
-                box, org = self.gather.read_src_map(y.shape[1:3])
+                box, org = self.gather.read_src_map(res)
                 updated = scatter_tiles_box(x, y, box, org, geom)
                 self.put_variable("cache", "original", cache.at[ctx.cache_id].set(updated))
             return out
@@ -290,6 +337,19 @@ class ScatterWithBlockResidual(SIGEModule):
             y0 = _read_slot(caches, ctx.cache_id)
             y1 = _read_slot(res_caches, ctx.cache_id)
             res = y0.shape[1:3]
+            if self.main_gather.planned_window():
+                org, cov_m = self.main_gather.read_wsc(res)
+                _, cov_s = self.shortcut_gather.read_wsc(res)
+                out = window_scatter_block_residual(
+                    x, y0, residual, y1, org, cov_m, cov_s)
+                if ctx.sparse_update and self.is_mutable_collection("cache"):
+                    self.put_variable(
+                        "cache", "original", caches.at[ctx.cache_id].set(out))
+                    new_res = window_scatter(residual, y1, org, cov_s)
+                    self.put_variable(
+                        "cache", "residual",
+                        res_caches.at[ctx.cache_id].set(new_res))
+                return out
             m_box, m_org = self.main_gather.read_src_map(res)
             s_box, s_org = self.shortcut_gather.read_src_map(res)
             out = scatter_with_block_residual_box(

@@ -52,11 +52,42 @@ def _is_gather_record(node: Mapping) -> bool:
     return isinstance(node, Mapping) and "geom" in node and "input_res" in node
 
 
+def _fit_window(lo: int, hi: int, limit: int, mult: int) -> Tuple[int, int]:
+    size = min(-(-(hi - lo) // mult) * mult, limit)
+    return max(min(int(lo), limit - size), 0), size
+
+
+def _canonical_window(mask: np.ndarray, mult: int = 16
+                      ) -> Tuple[int, int, int, int]:
+    """(r0, c0, WH, WW): bucketed bounding box of the mask — THE window
+    every gather/scatter at this resolution shares (alignment lets
+    window-mode joins stay pure elementwise)."""
+    H, W = mask.shape
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0:
+        return 0, 0, min(mult, H), min(mult, W)
+    r0, wh = _fit_window(rows[0], rows[-1] + 1, H, mult)
+    c0, ww = _fit_window(cols[0], cols[-1] + 1, W, mult)
+    return r0, c0, wh, ww
+
+
+def _window_meta(idx0: IntPair, ext: IntPair, limit: IntPair):
+    """Clamp/roll metadata + in-image edge mask for a (possibly virtual)
+    window origin (see ops/window.py _extract_window)."""
+    cl = [max(min(idx0[a], limit[a] - ext[a]), 0) for a in (0, 1)]
+    meta = np.array([cl[0], cl[1], cl[0] - idx0[0], cl[1] - idx0[1]], np.int32)
+    er = (np.arange(ext[0]) + idx0[0] >= 0) & (np.arange(ext[0]) + idx0[0] < limit[0])
+    ec = (np.arange(ext[1]) + idx0[1] >= 0) & (np.arange(ext[1]) + idx0[1] < limit[1])
+    return meta, er[:, None] & ec[None, :]
+
+
 def build_plan(
     meta: Mapping,
     masks: Mapping[IntPair, np.ndarray],
     bucket_min: int = 8,
     capacities: Optional[Dict[Tuple, int]] = None,
+    layout: str = "tiles",
     _path: Tuple = (),
     _memo: Optional[Dict] = None,
 ) -> Dict:
@@ -105,6 +136,11 @@ def build_plan(
             def _reses(key):
                 return sorted({tuple(int(i) for i in np.asarray(a))
                                for a in node.get(key, ())})
+            if layout == "window":
+                _window_entry(entry, node, geom, res, masks, indices, count,
+                              _reses, _memo)
+                plan[name] = entry
+                continue
             # Scatter source maps ship bbox-cropped: a full-map take at
             # gather throughput costs ~a dense conv at 256^2 (see
             # ops/scatter.py scatter_tiles_box); box shape is bucketed so
@@ -133,11 +169,64 @@ def build_plan(
                 entry[f"pixorg_{ores[0]}x{ores[1]}"] = org
             plan[name] = entry
         elif isinstance(node, Mapping):
-            sub = build_plan(node, masks, bucket_min, capacities,
+            sub = build_plan(node, masks, bucket_min, capacities, layout,
                              _path + (name,), _memo)
             if sub:
                 plan[name] = sub
     return plan
+
+
+def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
+                  indices, count, _reses, _memo, mult: int = 16) -> None:
+    """Window-layout planning products for one gather (see ops/window.py).
+
+    All gathers/scatters at an output resolution share one canonical
+    bucketed window (bbox of the mask), so window joins and norm
+    modulations stay elementwise-aligned across module pairings.
+    """
+    kh, kw = geom.kernel_size
+    sh, sw = geom.conv_stride
+    oh, ow = geom.offset
+    out_reses = sorted(set(_reses("scatter_res")) | set(_reses("sg_res")))
+    if not out_reses:
+        # pure re-gather (e.g. the SPADE shortcut-geometry regathers):
+        # conv output resolution follows from the geometry alone
+        out_reses = [(
+            (in_res[0] + 2 * oh - kh) // sh + 1,
+            (in_res[1] + 2 * ow - kw) // sw + 1,
+        )]
+    assert len(out_reses) == 1, (
+        f"window layout expects one conv output resolution per gather, "
+        f"got {out_reses}")
+    ores = out_reses[0]
+    wkey = ("window", ores)
+    if wkey not in _memo:
+        if ores not in masks:
+            raise KeyError(f"no mask for window resolution {ores}")
+        _memo[wkey] = _canonical_window(np.asarray(masks[ores], bool), mult)
+    r0, c0, WH, WW = _memo[wkey]
+
+    # gather input window (conv input extent incl. halo)
+    ext = ((WH - 1) * sh + kh, (WW - 1) * sw + kw)
+    meta, edge = _window_meta((r0 * sh - oh, c0 * sw - ow), ext, in_res)
+    entry["win_in"] = meta
+    entry["win_edge"] = edge
+
+    skey = ("srcmap", in_res, geom, None, ores, "w")
+    if skey not in _memo:
+        _memo[skey] = build_src_map(indices, count, geom, ores)
+    cov = _memo[skey][r0:r0 + WH, c0:c0 + WW] >= 0
+
+    for sres in _reses("scatter_res"):
+        entry[f"wsc_org_{sres[0]}x{sres[1]}"] = np.array([r0, c0], np.int32)
+        entry[f"wsc_cov_{sres[0]}x{sres[1]}"] = cov
+    for gres in _reses("sg_res"):
+        assert (sh, sw) == (1, 1), "fused re-gather requires stride 1"
+        ext2 = (WH + kh - 1, WW + kw - 1)
+        meta2, edge2 = _window_meta((r0 - oh, c0 - ow), ext2, gres)
+        entry[f"wsg_in_{gres[0]}x{gres[1]}"] = meta2
+        entry[f"wsg_edge_{gres[0]}x{gres[1]}"] = edge2
+        entry[f"wsg_cov_{gres[0]}x{gres[1]}"] = cov
 
 
 def plan_stats(meta: Mapping, plan: Mapping, _path: Tuple = ()) -> Dict[str, Dict]:

@@ -70,11 +70,13 @@ class DiffusionRunner:
 
     def __init__(self, model_cfg: DDPMUNetConfig = DDPMUNetConfig(),
                  run_cfg: DiffusionRunConfig = DiffusionRunConfig(),
-                 params=None, seed: int = 0, bucket_min: int = 8):
+                 params=None, seed: int = 0, bucket_min: int = 8,
+                 layout: str = "window"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = SIGEFusedUNet(cfg=model_cfg)
-        self.model = SIGEModel(self.module, params, bucket_min=bucket_min)
+        self.model = SIGEModel(self.module, params, bucket_min=bucket_min,
+                               layout=layout)
         if params is None:
             dummy = jnp.zeros(
                 (1, model_cfg.resolution, model_cfg.resolution, model_cfg.in_ch),
@@ -119,6 +121,7 @@ class DiffusionRunner:
         min_res = cfg.resolution // (2 ** (len(cfg.ch_mult) - 1))
         masks = downsample_mask(mask, min_res=min_res)
         self.model.set_masks(masks)
+        self.last_edit_ratio = float(np.mean(mask))
         return x0, x1, mask
 
     # ------------------------------------------------------------------

@@ -46,11 +46,12 @@ class GauGANRunner:
     def __init__(self, model_cfg: SPADEGenConfig = SPADEGenConfig(),
                  run_cfg: GauGANRunConfig = GauGANRunConfig(),
                  params=None, seed: int = 0, bucket_min: int = 8,
-                 module=None):
+                 module=None, layout: str = "window"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = module or SIGEFusedSPADEGenerator(cfg=model_cfg)
-        self.model = SIGEModel(self.module, params, bucket_min=bucket_min)
+        self.model = SIGEModel(self.module, params, bucket_min=bucket_min,
+                               layout=layout)
         if params is None:
             h = round(model_cfg.crop_size / model_cfg.aspect_ratio)
             dummy = jnp.zeros((1, h, model_cfg.crop_size, model_cfg.semantic_nc),
@@ -88,6 +89,7 @@ class GauGANRunner:
             mask, min_res=self.model_cfg.latent_hw,
             dilation=rc.downsample_dilate_radius)
         self.model.set_masks(masks)
+        self.last_edit_ratio = float(np.mean(mask))
         return x0, x1, mask
 
     def generate(self, original_sem: np.ndarray, edited_sem: np.ndarray

@@ -53,9 +53,11 @@ class SDRunner:
                  run_cfg: SDRunConfig = SDRunConfig(),
                  params: Optional[Dict] = None, seed: int = 0):
         self.unet_cfg, self.vae_cfg, self.run_cfg = unet_cfg, vae_cfg, run_cfg
+        # the UNet's 64^2 latent maps favor tiles; the VAE's image-res
+        # maps favor the contiguous window layout (measured on v5e)
         self.unet = SIGEModel(SIGESDUNet(cfg=unet_cfg))
-        self.encoder = SIGEModel(SIGEEncoder(cfg=vae_cfg))
-        self.decoder = SIGEModel(SIGEDecoder(cfg=vae_cfg))
+        self.encoder = SIGEModel(SIGEEncoder(cfg=vae_cfg), layout="window")
+        self.decoder = SIGEModel(SIGEDecoder(cfg=vae_cfg), layout="window")
         self.sampler = SDDDIMSampler(
             num_steps=run_cfg.ddim_steps, eta=run_cfg.eta,
             guidance_scale=run_cfg.guidance_scale)

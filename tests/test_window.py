@@ -1,0 +1,190 @@
+"""Window-layout execution tests (ops/window.py, planner layout="window").
+
+The window layout must satisfy the same SIGE contract as the tile
+layout: sparse-on-original == full exactly, and sparse-on-edited tracks
+dense-on-edited. Runs the DDPM UNet, the SD UNet (transformer reshape
+paths), and the SD VAE through SIGEModel(layout="window").
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sige_tpu.core.masks import compute_difference_mask, dilate_mask, downsample_mask
+from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+from sige_tpu.models.sd import (SDUNetConfig, SDVAEConfig, SIGEDecoder,
+                                SIGEEncoder, SIGESDUNet)
+from sige_tpu.nn import SIGEModel
+
+DDPM_TINY = DDPMUNetConfig(
+    ch=16, ch_mult=(1, 2), num_res_blocks=2, attn_resolutions=(16,),
+    resolution=32, num_groups=8, sparse_resolution_threshold=16)
+
+
+def edit_pair(rng, shape, box):
+    x0 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    mask = np.zeros(shape[1:3], bool)
+    mask[box[0]:box[1], box[2]:box[3]] = True
+    noise = rng.standard_normal(shape).astype(np.float32)
+    x1 = x0 + jnp.asarray(0.5 * noise * mask[None, :, :, None])
+    return x0, x1, mask
+
+
+def test_window_ddpm_sparse_on_original_exact():
+    rng = np.random.default_rng(0)
+    x0, x1, mask = edit_pair(rng, (1, 32, 32, 3), (8, 16, 10, 20))
+    t = jnp.array([3.0], jnp.float32)
+    model = SIGEModel(SIGEFusedUNet(cfg=DDPM_TINY), layout="window")
+    model.init(jax.random.key(0), x0, t)
+    y_full = model.full(x0, t)
+    model.set_masks(downsample_mask(dilate_mask(mask, 2), min_res=4))
+    y_sparse = model.sparse(x0, t)
+    np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full),
+                               atol=1e-4)
+
+
+def test_window_ddpm_tracks_dense_on_edit_and_matches_tiles():
+    rng = np.random.default_rng(1)
+    x0, x1, mask = edit_pair(rng, (1, 32, 32, 3), (8, 14, 10, 16))
+    t = jnp.array([3.0], jnp.float32)
+
+    def run(layout):
+        model = SIGEModel(SIGEFusedUNet(cfg=DDPM_TINY), layout=layout)
+        model.init(jax.random.key(0), x0, t)
+        y_edit_dense = model.full(x1, t)
+        model.full(x0, t)
+        dmask = compute_difference_mask(np.asarray(x0), np.asarray(x1))
+        model.set_masks(downsample_mask(dilate_mask(dmask, 5), min_res=4))
+        return np.asarray(model.sparse(x1, t)), np.asarray(y_edit_dense)
+
+    yw, yd = run("window")
+    err = np.abs(yw - yd)
+    assert err.max() < 0.15, err.max()
+    yt, _ = run("tiles")
+    # window freshens a (slightly) different superset than tiles; both
+    # must be close to dense and to each other
+    assert np.abs(yw - yt).max() < 0.15
+
+
+def test_window_sd_unet_transformer():
+    cfg = SDUNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=4,
+        context_dim=16, num_groups=8)
+    rng = np.random.default_rng(2)
+    x0, x1, mask = edit_pair(rng, (2, 16, 16, 4), (4, 9, 5, 11))
+    t = jnp.array([3.0, 3.0], jnp.float32)
+    c = jnp.asarray(rng.standard_normal((2, 7, 16)).astype(np.float32))
+    model = SIGEModel(SIGESDUNet(cfg=cfg), layout="window")
+    model.init(jax.random.key(0), x0, t, c)
+    y_full = model.full(x0, t, c)
+    model.set_masks(downsample_mask(dilate_mask(mask, 1), min_res=4))
+    y_sparse = model.sparse(x0, t, c)
+    np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full),
+                               atol=2e-4)
+
+
+def test_window_sd_vae_roundtrip():
+    cfg = SDVAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), z_channels=4, resolution=32,
+                      num_groups=8)
+    rng = np.random.default_rng(3)
+    img0, img1, mask = edit_pair(rng, (1, 32, 32, 3), (8, 16, 10, 20))
+    enc = SIGEModel(SIGEEncoder(cfg=cfg), layout="window")
+    enc.init(jax.random.key(0), img0)
+    z_full = enc.full(img0)
+    enc.set_masks(downsample_mask(dilate_mask(mask, 1), min_res=4))
+    z_sparse = enc.sparse(img0)
+    np.testing.assert_allclose(np.asarray(z_sparse), np.asarray(z_full),
+                               atol=2e-4)
+
+    z = z_full[..., :4]
+    dec = SIGEModel(SIGEDecoder(cfg=cfg), layout="window")
+    dec.init(jax.random.key(1), z)
+    i_full = dec.full(z)
+    dec.set_masks(downsample_mask(dilate_mask(mask, 1), min_res=4))
+    i_sparse = dec.sparse(z)
+    np.testing.assert_allclose(np.asarray(i_sparse), np.asarray(i_full),
+                               atol=2e-4)
+
+
+def test_window_edit_at_image_border():
+    """Edits touching the canvas edge exercise the clamp/roll/edge-mask
+    path (virtual negative origins)."""
+    rng = np.random.default_rng(4)
+    x0, x1, mask = edit_pair(rng, (1, 32, 32, 3), (0, 7, 26, 32))
+    t = jnp.array([5.0], jnp.float32)
+    model = SIGEModel(SIGEFusedUNet(cfg=DDPM_TINY), layout="window")
+    model.init(jax.random.key(0), x0, t)
+    y_full = model.full(x0, t)
+    model.set_masks(downsample_mask(dilate_mask(mask, 2), min_res=4))
+    y_sparse = model.sparse(x0, t)
+    np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full),
+                               atol=1e-4)
+
+
+def test_window_gaugan_sparse_on_original_exact():
+    from sige_tpu.models.gaugan import SIGEFusedSPADEGenerator, SPADEGenConfig
+
+    cfg = SPADEGenConfig(
+        ngf=8, semantic_nc=6, crop_size=64, aspect_ratio=2.0,
+        num_upsampling_layers="normal", num_sparse_layers=5)
+    rng = np.random.default_rng(5)
+    seg = jnp.asarray(rng.random((1, 32, 64, 6)).astype(np.float32))
+    mask = np.zeros((32, 64), bool)
+    mask[10:18, 20:34] = True
+    model = SIGEModel(SIGEFusedSPADEGenerator(cfg=cfg), layout="window")
+    model.init(jax.random.key(0), seg)
+    y_full = model.full(seg)
+    model.set_masks(downsample_mask(dilate_mask(mask, 2),
+                                    min_res=cfg.latent_hw, dilation=2))
+    y_sparse = model.sparse(seg)
+    np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full),
+                               atol=1e-4)
+
+
+def test_window_sub_mobile_sparse_on_original_exact():
+    from sige_tpu.models.gaugan import (SIGESubMobileSPADEGenerator,
+                                        SPADEGenConfig)
+
+    cfg = SPADEGenConfig(
+        ngf=8, semantic_nc=6, crop_size=64, aspect_ratio=2.0,
+        num_upsampling_layers="normal", num_sparse_layers=5)
+    rng = np.random.default_rng(6)
+    seg = jnp.asarray(rng.random((1, 32, 64, 6)).astype(np.float32))
+    mask = np.zeros((32, 64), bool)
+    mask[8:16, 18:30] = True
+    model = SIGEModel(
+        SIGESubMobileSPADEGenerator(cfg=cfg, channels=(2, 2, 2, 3, 2, 2, 2, 2)),
+        layout="window")
+    model.init(jax.random.key(0), seg)
+    y_full = model.full(seg)
+    model.set_masks(downsample_mask(dilate_mask(mask, 2),
+                                    min_res=cfg.latent_hw, dilation=2))
+    y_sparse = model.sparse(seg)
+    np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full),
+                               atol=1e-4)
+
+
+def test_window_pd_sparse_on_original_exact():
+    from sige_tpu.models.pd import PDUNetConfig, SIGEPDUNet
+
+    cfg = PDUNetConfig(
+        ch=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,),
+        resolution=32, temb_ch=64, head_dim=8, num_groups=8,
+        sparse_resolution_threshold=16)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    logsnr = jnp.array([1.3], jnp.float32)
+    mask = np.zeros((32, 32), bool)
+    mask[8:16, 10:20] = True
+    model = SIGEModel(SIGEPDUNet(cfg=cfg), layout="window")
+    model.init(jax.random.key(0), x0, logsnr)
+    y_full = model.full(x0, logsnr)
+    model.set_masks(downsample_mask(dilate_mask(mask, 2), min_res=4))
+    y_sparse = model.sparse(x0, logsnr)
+    np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full),
+                               atol=1e-4)
