@@ -123,6 +123,40 @@ def bench_vae_decoder(iters, dtype="bfloat16"):
     }
 
 
+def bench_vae_encoder(iters, dtype="bfloat16"):
+    """SD VAE encoder @512 (reference reports UNet/encoder/decoder
+    triplets; stable-diffusion/README.md:210-239)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sige_tpu.core.masks import dilate_mask, downsample_mask
+    from sige_tpu.models.sd import SDVAEConfig, SIGEEncoder
+    from sige_tpu.nn import SIGEModel
+    from sige_tpu.nn.module import SIGECtx
+
+    dt = jnp.dtype(dtype)
+    enc = SIGEModel(SIGEEncoder(cfg=SDVAEConfig(resolution=512)),
+                    layout="window")
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, 512, 512, 3)).astype(np.float32))
+    enc.init(jax.random.key(0), img)
+    enc.full(img)
+    enc.set_masks(downsample_mask(_edit_mask(512), min_res=8))
+    cast = lambda tr: jax.tree.map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, tr)
+    v = {"params": cast(enc.params), "cache": cast(enc.cache),
+         "sige": enc.plan}
+    xb = img.astype(dt)
+    fs = jax.jit(lambda v, x: enc.module.apply(v, x, ctx=SIGECtx(mode="sparse")))
+    fd = jax.jit(lambda p, x: enc.module.apply({"params": p}, x,
+                                               ctx=SIGECtx(mode="dense")))
+    return {
+        "dense_ms": round(_timeit(fd, cast(enc.params), xb, iters=iters), 2),
+        "sparse_ms": round(_timeit(fs, v, xb, iters=iters), 2),
+        "dtype": str(dtype),
+    }
+
+
 def bench_gaugan(iters):
     """GauGAN 512x256 fused SPADE at a ~1.4% semantic edit (fp32 — the
     reference's gaugan suite precision)."""
@@ -197,9 +231,10 @@ def main():
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         help="bench dtype for BOTH modes (fair comparison)")
     parser.add_argument("--families", type=str,
-                        default="ddpm,decoder,gaugan,pd",
+                        default="ddpm,decoder,encoder,gaugan,pd",
                         help="extra per-family details (comma list of "
-                             "ddpm,decoder,gaugan,pd; empty = SD UNet only)")
+                             "ddpm,decoder,encoder,gaugan,pd; "
+                             "empty = SD UNet only)")
     args = parser.parse_args()
 
     from sige_tpu.utils import enable_compilation_cache
@@ -214,6 +249,8 @@ def main():
         detail["ddpm_church256"] = bench_ddpm(args.iters)
     if "decoder" in fams:
         detail["sd_vae_decoder_512"] = bench_vae_decoder(args.iters, args.dtype)
+    if "encoder" in fams:
+        detail["sd_vae_encoder_512"] = bench_vae_encoder(args.iters, args.dtype)
     if "gaugan" in fams:
         detail["gaugan_512x256"] = bench_gaugan(args.iters)
     if "pd" in fams:

@@ -62,29 +62,19 @@ def compute_fid(
 
 
 def make_inception_feature_fn(weights_path: Optional[str] = None):
-    """InceptionV3 pool3 features via torch (CPU). Requires local weights —
-    this environment has no network egress, so torchvision's auto-download
-    is disabled; pass ``weights_path`` to a locally stored state dict."""
+    """InceptionV3 pool3 features via the Flax backbone
+    (:class:`sige_tpu.metrics.backbones.FIDInception`). Requires local
+    weights — this environment has no network egress; pass
+    ``weights_path`` to a locally stored torchvision ``inception_v3``
+    state dict."""
     import torch
-    from torchvision.models import inception_v3
 
-    model = inception_v3(weights=None, aux_logits=True, init_weights=False)
+    from .backbones import FIDInception
+
     if weights_path is None:
         raise FileNotFoundError(
             "InceptionV3 weights are required for FID; pass weights_path "
             "to a local torchvision inception_v3 state dict")
-    model.load_state_dict(torch.load(weights_path, map_location="cpu"))
-    model.fc = torch.nn.Identity()
-    model.eval()
-
-    def feature_fn(images: np.ndarray) -> np.ndarray:
-        x = torch.from_numpy(np.asarray(images, np.float32))
-        if x.ndim == 4 and x.shape[-1] in (1, 3):
-            x = x.permute(0, 3, 1, 2)
-        x = torch.nn.functional.interpolate(
-            x, size=(299, 299), mode="bilinear", align_corners=False)
-        x = x * 2.0 - 1.0
-        with torch.no_grad():
-            return model(x).numpy()
-
-    return feature_fn
+    sd = torch.load(weights_path, map_location="cpu")
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return FIDInception(sd)

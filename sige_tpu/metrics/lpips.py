@@ -52,52 +52,32 @@ def _resize_mask(mask: np.ndarray, hw) -> np.ndarray:
 
 
 class LPIPS:
-    """Torch-backed LPIPS with local weights.
+    """LPIPS with the Flax AlexNet backbone
+    (:class:`sige_tpu.metrics.backbones.LPIPSAlex`); the reference uses
+    ``lpips.LPIPS(net="alex", spatial=True)``
+    (reference: diffusion/metrics/lpips_score.py:26).
 
-    ``backbone_path``: torchvision vgg16/alexnet state dict.
-    ``lin_path``: LPIPS linear-layer state dict (the `lpips` package's
-    .pth for the matching net).
+    ``backbone_path``: torchvision ``alexnet`` state dict (.pth).
+    ``lin_path``: the lpips package's ``alex.pth`` lin heads.
+    Both are local files — no network egress here.
     """
 
-    VGG_SLICES = (4, 9, 16, 23, 30)  # relu1_2 ... relu5_3 boundaries
-
-    def __init__(self, backbone_path: str, lin_path: str, net: str = "vgg"):
+    def __init__(self, backbone_path: str, lin_path: str, net: str = "alex"):
         import torch
-        import torchvision
 
-        if net != "vgg":
-            raise NotImplementedError("only the vgg backbone is wired")
-        vgg = torchvision.models.vgg16(weights=None)
-        vgg.load_state_dict(torch.load(backbone_path, map_location="cpu"))
-        self.features = vgg.features.eval()
+        if net != "alex":
+            raise NotImplementedError("only the alex backbone is wired")
+        from .backbones import LPIPSAlex
+
+        alex_sd = torch.load(backbone_path, map_location="cpu")
         lin_sd = torch.load(lin_path, map_location="cpu")
-        # lpips lin layers: lins.{i}.model.1.weight [C,1,1,1]
-        self.lin_weights = []
-        for i in range(5):
-            key = f"lin{i}.model.1.weight"
-            if key not in lin_sd:
-                key = f"lins.{i}.model.1.weight"
-            self.lin_weights.append(
-                lin_sd[key].squeeze().numpy())  # [C]
-        self._torch = torch
-
-    def _extract(self, img: np.ndarray):
-        """img [H, W, 3] in [0, 1] -> list of [H_l, W_l, C_l] features."""
-        torch = self._torch
-        mean = np.array([0.485, 0.456, 0.406], np.float32)
-        std = np.array([0.229, 0.224, 0.225], np.float32)
-        x = (np.asarray(img, np.float32) - mean) / std
-        x = torch.from_numpy(x.transpose(2, 0, 1))[None]
-        feats, start = [], 0
-        with torch.no_grad():
-            for end in self.VGG_SLICES:
-                for layer in self.features[start:end]:
-                    x = layer(x)
-                start = end
-                feats.append(x[0].permute(1, 2, 0).numpy())
-        return feats
+        to_np = lambda sd: {k: v.numpy() if hasattr(v, "numpy") else v
+                            for k, v in sd.items()}
+        self._impl = LPIPSAlex(to_np(alex_sd), to_np(lin_sd))
 
     def __call__(self, a: np.ndarray, b: np.ndarray,
                  mask: Optional[np.ndarray] = None) -> float:
-        return lpips_from_features(
-            self._extract(a), self._extract(b), self.lin_weights, mask)
+        """a, b: [H, W, 3] in [0, 1] (scaled to [-1, 1] internally, the
+        lpips convention)."""
+        return self._impl(np.asarray(a) * 2.0 - 1.0,
+                          np.asarray(b) * 2.0 - 1.0, mask=mask)
