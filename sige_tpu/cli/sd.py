@@ -32,6 +32,13 @@ def get_args():
     p.add_argument("--save_dir", type=str, default="results/sd")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--safety_model", type=str, default=None,
+                   help="local CompVis/stable-diffusion-safety-checker "
+                        "snapshot; flagged outputs are blacked out "
+                        "(reference: stable-diffusion/utils.py:94-100)")
+    p.add_argument("--no_watermark", action="store_true",
+                   help="skip the invisible watermark (reference stamps "
+                        "'StableDiffusionV1'; base_runner.py:63-65,93)")
     return p.parse_args()
 
 
@@ -98,8 +105,25 @@ def main():
         assert edited is not None, "sdedit needs --edited_img"
         out = runner.sdedit(init, edited, uc=uc, c=c, seed=args.seed)
 
+    # save path mirrors the reference: clamp -> safety check -> uint8 ->
+    # invisible watermark -> write (base_runner.py:83-96)
+    sample = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
+    if args.safety_model:
+        from ..models.sd.safety import SafetyChecker
+
+        checker = SafetyChecker.from_pretrained(args.safety_model)
+        checked, has_nsfw = checker(sample[None])
+        sample = checked[0]
+        if has_nsfw[0]:
+            print("NSFW concept detected; output blacked out")
+    if not args.no_watermark:
+        from ..utils.watermark import WatermarkEncoder, put_watermark
+
+        img8 = np.clip(np.round(sample * 255.0), 0, 255).astype(np.uint8)
+        img8 = put_watermark(img8, WatermarkEncoder(b"StableDiffusionV1"))
+        sample = img8.astype(np.float32) / 255.0
     path = os.path.join(args.save_dir, f"{args.task}.png")
-    save_image(path, (out + 1.0) / 2.0)
+    save_image(path, sample)
     print(f"saved {path}")
 
 
