@@ -28,13 +28,19 @@ from ..nn import SIGEModel
 from ..nn.module import SIGECtx
 from ..runners.diffusion_runner import data_transform, inverse_data_transform
 from ..samplers import DDIMSampler, DiffusionSchedule, get_sampling_sequence
+from ..samplers.dpm_solver import DPMSolverSampler
 
 
 class DemoRunner:
     def __init__(self, model_cfg: Optional[DDPMUNetConfig] = None,
                  sample_steps: int = 25, noise_level: int = 400,
                  total_steps: int = 1000, mask_dilate_radius: int = 5,
-                 params=None, seed: int = 0, bucket_min: int = 8):
+                 params=None, seed: int = 0, bucket_min: int = 8,
+                 sampler_type: str = "ddim"):
+        """``sampler_type``: "ddim" or "dpm_solver" — the reference demo
+        defaults to DPM-Solver (reference: diffusion_demo/configs)."""
+        assert sampler_type in ("ddim", "dpm_solver"), sampler_type
+        self.sampler_type = sampler_type
         self.sample_steps = sample_steps
         self.noise_level = noise_level
         self.mask_dilate_radius = mask_dilate_radius
@@ -51,8 +57,11 @@ class DemoRunner:
             self.model.init(jax.random.key(seed),
                             jnp.zeros((1, R, R, self.model_cfg.in_ch)),
                             jnp.zeros((1,), jnp.float32))
-        self.sampler = DDIMSampler(
-            schedule=DiffusionSchedule.create("linear", 1e-4, 2e-2, total_steps))
+        schedule = DiffusionSchedule.create("linear", 1e-4, 2e-2, total_steps)
+        if sampler_type == "dpm_solver":
+            self.sampler = DPMSolverSampler(schedule=schedule)
+        else:
+            self.sampler = DDIMSampler(schedule=schedule)
         self.base_x0 = None        # [-1, 1] base image
         self.base_e = None         # persistent noise (reference: runner.py:112)
         self._steps = self._step_pairs()
@@ -82,9 +91,16 @@ class DemoRunner:
         self.model.cache = mut["cache"]
         self.model.meta = mut["meta"]
 
-        out, cache = _full_trajectory(
-            self.module, self.sampler, self.model.params, self.model.cache,
-            xt, self._steps)
+        if self.sampler_type == "dpm_solver":
+            out, cache = _dpm_demo_trajectory(
+                self.module, self.sampler, self.model.params, {},
+                self.model.cache, xt, tuple(int(s) for s in self.seq),
+                mode="full", mask=None, gt_x0=x0, gt_e=self.base_e,
+                sparse_update=False)
+        else:
+            out, cache = _full_trajectory(
+                self.module, self.sampler, self.model.params,
+                self.model.cache, xt, self._steps)
         self.model.cache = cache
         self.base_x0 = x0
         return inverse_data_transform(np.asarray(out[0]), True)
@@ -107,10 +123,18 @@ class DemoRunner:
         self.model.set_masks(downsample_mask(mask, min_res=min_res))
 
         xt = self.sampler.q_sample(x1, jnp.int32(self.seq[-1]), self.base_e)
-        out, cache = _sparse_trajectory(
-            self.module, self.sampler, self.model.params, self.model.plan,
-            self.model.cache, xt, self._steps, jnp.asarray(mask),
-            self.base_x0, self.base_e, sparse_update)
+        if self.sampler_type == "dpm_solver":
+            out, cache = _dpm_demo_trajectory(
+                self.module, self.sampler, self.model.params,
+                self.model.plan, self.model.cache, xt,
+                tuple(int(s) for s in self.seq), mode="sparse",
+                mask=jnp.asarray(mask), gt_x0=self.base_x0,
+                gt_e=self.base_e, sparse_update=sparse_update)
+        else:
+            out, cache = _sparse_trajectory(
+                self.module, self.sampler, self.model.params, self.model.plan,
+                self.model.cache, xt, self._steps, jnp.asarray(mask),
+                self.base_x0, self.base_e, sparse_update)
         if sparse_update:
             self.model.cache = cache
             self.base_x0 = x1
@@ -136,6 +160,67 @@ def _full_trajectory(module, sampler, params, cache, xt, steps):
 
     slots = jnp.arange(steps.shape[0], dtype=jnp.int32)
     (x, cache), _ = jax.lax.scan(body, (xt, cache), (slots, steps))
+    return x, cache
+
+
+@partial(jax.jit,
+         static_argnames=("module", "sampler", "seq", "mode", "sparse_update"))
+def _dpm_demo_trajectory(module, sampler, params, plan, cache, xt, seq,
+                         mode, mask, gt_x0, gt_e, sparse_update):
+    """Multistep DPM-Solver(++) trajectory with per-step cache slots.
+
+    Mirrors ``DPMSolverSampler._sample`` (host-precomputed coefficients,
+    unrolled — DPM-Solver runs ~5-25 steps) but each of the ``len(seq)``
+    model evaluations reads/writes cache slot ``step`` so edits can run
+    sparse-only against the base trajectory (the reference demo's
+    default sampler; diffusion_demo/runner.py + dpm_solver sampler)."""
+    order = sampler.order
+    steps = len(seq)
+    rev = list(reversed([-1] + list(seq)))  # [t_S, ..., t_1, -1]
+
+    def model_step(x, t_int, slot, cache):
+        t = jnp.full((x.shape[0],), t_int, jnp.float32)
+        ctx = SIGECtx(mode=mode, cache_id=slot, sparse_update=sparse_update)
+        variables = {"params": params, "cache": cache}
+        if mode == "sparse":
+            variables["sige"] = plan
+        if mode == "full" or sparse_update:
+            et, mut = module.apply(variables, x, t, ctx=ctx,
+                                   mutable=["cache"])
+            cache = mut["cache"]
+        else:
+            et = module.apply(variables, x, t, ctx=ctx)
+        at = sampler.schedule.alpha(t_int)
+        x0 = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+        return x0, cache
+
+    x = xt
+    t_prevs, model_prevs = [], []
+    for step, t_int in enumerate(rev):
+        t_c = sampler._t_cont(t_int)
+        if step == 0:
+            m, cache = model_step(x, t_int, 0, cache)
+            t_prevs, model_prevs = [t_c], [m]
+            continue
+        if step < order:
+            step_order = step
+        elif sampler.lower_order_final and steps < 10:
+            step_order = min(order, steps + 1 - step)
+        else:
+            step_order = order
+        x = sampler._update(x, model_prevs, t_prevs, t_c, step_order)
+        if mode == "sparse":
+            # SDEdit blending: outside the mask follow the base trajectory
+            gt_xt = sampler.q_sample(gt_x0, t_int, gt_e)
+            mb = mask[None, :, :, None].astype(x.dtype)
+            x = gt_xt * (1 - mb) + x * mb
+        t_prevs.append(t_c)
+        if len(t_prevs) > order:
+            t_prevs.pop(0)
+            model_prevs.pop(0)
+        if step < steps:
+            m, cache = model_step(x, t_int, step, cache)
+            model_prevs.append(m)
     return x, cache
 
 

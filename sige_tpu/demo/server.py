@@ -28,10 +28,15 @@ image-rendering:pixelated;width:512px;height:512px} .row{display:flex;gap:16px}
 button{margin:4px;padding:6px 14px}</style></head><body>
 <h2>sige-tpu interactive editing</h2>
 <div class="row">
- <div><h4>paint (brush)</h4><canvas id="edit"></canvas></div>
+ <div><h4>paint</h4><canvas id="edit"></canvas></div>
  <div><h4>generated</h4><canvas id="out"></canvas></div>
 </div>
 <div>
+ tool <select id="tool">
+  <option value="brush">brush</option>
+  <option value="eraser">eraser</option>
+  <option value="fill">fill</option>
+ </select>
  color <input type="color" id="color" value="#b05030">
  size <input type="range" id="size" min="2" max="40" value="12">
  <button onclick="send('/generate')">generate</button>
@@ -45,16 +50,53 @@ const ec = document.getElementById('edit'), oc = document.getElementById('out');
 ec.width = ec.height = oc.width = oc.height = R;
 const ectx = ec.getContext('2d'), octx = oc.getContext('2d');
 let drawing = false;
-ec.onmousedown = e => {drawing = true; draw(e);};
+let baseImg = null;  // kept for the eraser (restores base pixels)
+ec.onmousedown = e => {
+  const t = document.getElementById('tool').value;
+  if (t === 'fill') { fill(e); return; }
+  drawing = true; draw(e);
+};
 ec.onmousemove = e => {if (drawing) draw(e);};
 window.onmouseup = () => drawing = false;
-function draw(e){
+function pos(e){
   const r = ec.getBoundingClientRect();
-  const x = (e.clientX - r.left) * R / r.width;
-  const y = (e.clientY - r.top) * R / r.height;
-  ectx.fillStyle = document.getElementById('color').value;
+  return [(e.clientX - r.left) * R / r.width,
+          (e.clientY - r.top) * R / r.height];
+}
+function draw(e){
+  const [x, y] = pos(e);
   const s = document.getElementById('size').value * R / 512;
+  if (document.getElementById('tool').value === 'eraser' && baseImg){
+    // restore the base image under a square around the cursor
+    const x0 = Math.max(0, x - s), y0 = Math.max(0, y - s);
+    ectx.drawImage(baseImg, x0, y0, 2*s, 2*s, x0, y0, 2*s, 2*s);
+    return;
+  }
+  ectx.fillStyle = document.getElementById('color').value;
   ectx.beginPath(); ectx.arc(x, y, s, 0, 7); ectx.fill();
+}
+function fill(e){
+  // flood fill from the click point over similar-colored pixels
+  const [fx, fy] = pos(e).map(Math.floor);
+  const img = ectx.getImageData(0, 0, R, R), d = img.data;
+  const c = document.getElementById('color').value;
+  const nr = parseInt(c.slice(1,3),16), ng = parseInt(c.slice(3,5),16),
+        nb = parseInt(c.slice(5,7),16);
+  const i0 = 4*(fy*R + fx);
+  const sr = d[i0], sg = d[i0+1], sb = d[i0+2], TOL = 32;
+  if (Math.abs(sr-nr)+Math.abs(sg-ng)+Math.abs(sb-nb) < 3) return;
+  const stack = [[fx, fy]], seen = new Uint8Array(R*R);
+  while (stack.length){
+    const [x, y] = stack.pop();
+    if (x < 0 || y < 0 || x >= R || y >= R || seen[y*R+x]) continue;
+    const i = 4*(y*R + x);
+    if (Math.abs(d[i]-sr)+Math.abs(d[i+1]-sg)+Math.abs(d[i+2]-sb) > TOL)
+      continue;
+    seen[y*R+x] = 1;
+    d[i] = nr; d[i+1] = ng; d[i+2] = nb; d[i+3] = 255;
+    stack.push([x+1,y],[x-1,y],[x,y+1],[x,y-1]);
+  }
+  ectx.putImageData(img, 0, 0);
 }
 async function post(path, body){
   document.getElementById('status').textContent = '...';
@@ -73,7 +115,9 @@ async function send(path){
 async function reset(){
   const js = await post('/reset', {});
   const img = new Image();
-  img.onload = () => { ectx.drawImage(img, 0, 0); octx.drawImage(img, 0, 0); };
+  img.onload = () => {
+    ectx.drawImage(img, 0, 0); octx.drawImage(img, 0, 0); baseImg = img;
+  };
   img.src = js.base;
 }
 reset();
@@ -139,6 +183,9 @@ def main():
     p.add_argument("--image", type=str, default=None)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--sample_steps", type=int, default=25)
+    p.add_argument("--sampler", choices=("ddim", "dpm_solver"),
+                   default="ddim",
+                   help="dpm_solver is the reference demo's default")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight model for smoke testing")
     p.add_argument("--restore_from", type=str, default=None)
@@ -165,7 +212,8 @@ def main():
             load_torch_state_dict(args.restore_from), cfg.ch_mult,
             cfg.num_res_blocks, cfg.attn_resolutions, cfg.resolution)
     runner = DemoRunner(cfg, sample_steps=args.sample_steps, params=params,
-                        bucket_min=1 if args.tiny else 8)
+                        bucket_min=1 if args.tiny else 8,
+                        sampler_type=args.sampler)
 
     if args.image:
         from ..data import load_image
