@@ -37,7 +37,16 @@ def md5_file(path: str) -> str:
     return h.hexdigest()
 
 
-def load_torch_state_dict(path: str, md5: str | None = None) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, md5: str | None = None,
+                          prefer_ema: bool = True) -> Dict[str, np.ndarray]:
+    """Read a reference .pth into {name: np.ndarray}.
+
+    Handles the reference's container formats: lightning ``state_dict``
+    wrappers, and diffusion training states ``{"model": ..., "ema": ...}``
+    (reference: diffusion/runner.py:74-86) — with ``prefer_ema`` the EMA
+    shadow params overlay the live ones, matching ``config.model.ema``
+    inference.
+    """
     if torch is None:
         raise RuntimeError("torch unavailable; cannot read .pth checkpoints")
     if md5 is not None:
@@ -47,10 +56,16 @@ def load_torch_state_dict(path: str, md5: str | None = None) -> Dict[str, np.nda
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    if (isinstance(sd, dict) and isinstance(sd.get("model"), dict)
+            and not hasattr(sd["model"], "numpy")):
+        base = dict(sd["model"])
+        if prefer_ema and isinstance(sd.get("ema"), dict):
+            base.update(sd["ema"])
+        sd = base
     out = {}
     for k, v in sd.items():
         if hasattr(v, "numpy"):
-            out[k] = v.detach().cpu().numpy()
+            out[k.removeprefix("module.")] = v.detach().cpu().numpy()
     return out
 
 

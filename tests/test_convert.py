@@ -223,3 +223,22 @@ def test_pd_converter_bijection():
                                 cfg.attn_resolutions, cfg.resolution)
     from sige_tpu.utils.convert import assert_params_match
     assert_params_match(converted, params)
+
+
+def test_load_torch_state_dict_ema_container(tmp_path):
+    """Training-state checkpoints {"model", "ema"} load with the EMA
+    shadow overlaid (reference: diffusion/runner.py:74-86 +
+    config.model.ema inference)."""
+    from sige_tpu.utils.convert import load_torch_state_dict
+
+    model = {"module.w": torch.full((2,), 1.0), "b": torch.full((2,), 2.0)}
+    ema = {"module.w": torch.full((2,), 9.0)}
+    path = tmp_path / "states.pth"
+    torch.save({"model": model, "ema": ema, "step": 3}, path)
+
+    sd = load_torch_state_dict(str(path))
+    np.testing.assert_allclose(sd["w"], 9.0)  # ema wins, module. stripped
+    np.testing.assert_allclose(sd["b"], 2.0)
+
+    sd = load_torch_state_dict(str(path), prefer_ema=False)
+    np.testing.assert_allclose(sd["w"], 1.0)
