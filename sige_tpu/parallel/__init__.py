@@ -1,7 +1,9 @@
-"""Multi-chip execution: meshes, sharding helpers, request batching."""
+"""Multi-chip execution: meshes, sharding helpers, request batching,
+single-request spatial parallelism."""
 
 from .mesh import make_mesh, replicate, shard_batch, shard_cache, shard_model
 from .serving import TwinStepServer
+from .spatial import make_spatial_mesh, row_sharding, spatial_apply
 
 __all__ = [
     "make_mesh",
@@ -10,4 +12,7 @@ __all__ = [
     "shard_cache",
     "shard_model",
     "TwinStepServer",
+    "make_spatial_mesh",
+    "row_sharding",
+    "spatial_apply",
 ]

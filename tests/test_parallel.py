@@ -47,3 +47,31 @@ def test_twin_step_server_dp_tp():
     # sparse result matches the single-device engine
     y_single = model.sparse(x1, t1)
     np.testing.assert_allclose(np.asarray(y1[0]), np.asarray(y_single[0]), atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 cpu devices")
+def test_spatial_apply_decoder_matches_single_device():
+    """sp: one big request with rows sharded over 8 devices produces the
+    single-device dense decode bit-for-tolerance (XLA SPMD inserts the
+    conv halo exchanges / norm reductions)."""
+    from sige_tpu.models.sd import SDVAEConfig, SIGEDecoder
+    from sige_tpu.nn.module import SIGECtx
+    from sige_tpu.parallel import make_spatial_mesh, spatial_apply
+
+    cfg = SDVAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=32, num_groups=8)
+    module = SIGEDecoder(cfg=cfg)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+    params = module.init(jax.random.key(0), z,
+                         ctx=SIGECtx(mode="dense"))["params"]
+    want = module.apply({"params": params}, z, ctx=SIGECtx(mode="dense"))
+
+    mesh = make_spatial_mesh(8, devices=jax.devices("cpu"))
+    got = spatial_apply(mesh, module, params, z)
+    from jax.sharding import PartitionSpec
+    assert got.sharding.spec == PartitionSpec(None, "sp")  # rows sharded
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        spatial_apply(mesh, module, params, z[:, :12])
