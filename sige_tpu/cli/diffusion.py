@@ -24,7 +24,11 @@ def get_args():
     p.add_argument("--image_metas", type=str, nargs="+", default=None)
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--restore_from", type=str, default=None,
-                   help="path to a reference .pth checkpoint to convert")
+                   help="reference .pth checkpoint to convert, or a native "
+                        "checkpoint dir written by --save_converted")
+    p.add_argument("--save_converted", type=str, default=None,
+                   help="write the (converted) params as a native orbax "
+                        "checkpoint dir — later runs load it without torch")
     p.add_argument("--synthetic", action="store_true",
                    help="run on a synthetic edit pair (no dataset needed)")
     p.add_argument("--seed", type=int, default=0)
@@ -65,6 +69,10 @@ def _build_pd_runner(config, restore_from=None):
     )
     params = None
     if restore_from is not None:
+        from ..utils.checkpoint import maybe_load_native
+
+        params = maybe_load_native(restore_from)
+    if params is None and restore_from is not None:
         from ..utils.convert import convert_pd_unet, load_torch_state_dict
 
         params = convert_pd_unet(
@@ -102,6 +110,10 @@ def _build_ddpm_runner(config, restore_from=None):
     )
     params = None
     if restore_from is not None:
+        from ..utils.checkpoint import maybe_load_native
+
+        params = maybe_load_native(restore_from)
+    if params is None and restore_from is not None:
         from ..utils.convert import (convert_ddpm_fused_unet,
                                      convert_ddpm_unet_to_fused,
                                      load_torch_state_dict)
@@ -143,6 +155,11 @@ def main():
         override_config(config, args.hparams)
 
     runner = build_runner(config, args.restore_from)
+    if args.save_converted:
+        from ..utils.checkpoint import save_params
+
+        print("saved native checkpoint:",
+              save_params(args.save_converted, runner.model.params))
 
     if args.synthetic:
         pairs = [("synthetic", *synthetic_pair(config.data.image_size, args.seed))]

@@ -18,7 +18,11 @@ def get_args():
                             "sub_mobile_spade", "fused_sub_mobile_spade",
                             "sige_fused_sub_mobile_spade"))
     p.add_argument("--restore_from", type=str, default=None,
-                   help="path to a reference .pth checkpoint to convert")
+                   help="reference .pth checkpoint to convert, or a native "
+                        "checkpoint dir written by --save_converted")
+    p.add_argument("--save_converted", type=str, default=None,
+                   help="write the (converted) params as a native orbax "
+                        "checkpoint dir — later runs load it without torch")
     p.add_argument("--mode", choices=("generate", "profile"), default="generate")
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--input_nc", type=int, default=35)
@@ -77,18 +81,22 @@ def main():
     # fused_sub_mobile_spade_generator.py:77-133).
     params = None
     module = None
+    if args.restore_from:
+        from ..utils.checkpoint import maybe_load_native
+
+        params = maybe_load_native(args.restore_from)
     if "sub_mobile" in args.netG:
         assert args.config_str, "--config_str required for sub-mobile nets"
         channels = tuple(decode_config(args.config_str))
         module = SIGESubMobileSPADEGenerator(cfg=model_cfg, channels=channels)
-        if args.restore_from:
+        if args.restore_from and params is None:
             from ..utils.convert import (convert_gaugan_sub_mobile_spade,
                                          load_torch_state_dict)
 
             params = convert_gaugan_sub_mobile_spade(
                 load_torch_state_dict(args.restore_from), channels=channels,
                 ngf=args.ngf, fused_ckpt="fused" in args.netG)
-    elif args.restore_from:
+    elif args.restore_from and params is None:
         from ..utils.convert import (convert_gaugan_fused_spade,
                                      convert_gaugan_spade,
                                      load_torch_state_dict)
@@ -100,6 +108,11 @@ def main():
                                        fuse=True))
     runner = GauGANRunner(model_cfg, run_cfg, params=params, seed=args.seed,
                           module=module)
+    if args.save_converted:
+        from ..utils.checkpoint import save_params
+
+        print("saved native checkpoint:",
+              save_params(args.save_converted, runner.model.params))
 
     if args.synthetic:
         rng = np.random.default_rng(args.seed)

@@ -25,7 +25,11 @@ def get_args():
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--W", type=int, default=512)
     p.add_argument("--restore_from", type=str, default=None,
-                   help="path to an sd-v1-4-style checkpoint to convert")
+                   help="sd-v1-4-style checkpoint to convert, or a native "
+                        "checkpoint dir written by --save_converted")
+    p.add_argument("--save_converted", type=str, default=None,
+                   help="write the (converted) params as a native orbax "
+                        "checkpoint dir — later runs load it without torch")
     p.add_argument("--embeddings", type=str, default=None,
                    help=".npz with 'uc' and 'c' text embeddings "
                         "[1, 77, 768] (no CLIP weights ship here)")
@@ -59,6 +63,10 @@ def main():
                           guidance_scale=args.scale, strength=args.strength)
     params = None
     if args.restore_from:
+        from ..utils.checkpoint import maybe_load_native
+
+        params = maybe_load_native(args.restore_from)
+    if args.restore_from and params is None:
         from ..utils.convert import load_torch_state_dict
         from ..utils.convert_sd import convert_sd
 
@@ -74,6 +82,15 @@ def main():
             resolution=vae_cfg.resolution)
     runner = SDRunner(unet_cfg, vae_cfg, run_cfg, params=params,
                       seed=args.seed)
+    if args.save_converted:
+        from ..utils.checkpoint import save_params
+
+        tree = {"unet": runner.unet.params, "encoder": runner.encoder.params,
+                "decoder": runner.decoder.params,
+                "post_quant": runner.post_quant}
+        tree = {k: v for k, v in tree.items() if v is not None}
+        print("saved native checkpoint:",
+              save_params(args.save_converted, tree))
 
     uc = c = None
     if args.embeddings:

@@ -101,3 +101,26 @@ def test_datasets(tmp_path):
     assert len(cds) == 2  # symmetric editing doubles
     assert cds[0]["original_label"].sum() == 0
     assert cds[1]["original_label"].sum() == 32  # swapped
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    """Converted params save/load through orbax (SURVEY section 5:
+    the TPU-native replacement for torch.load-only checkpointing)."""
+    import jax.numpy as jnp
+
+    from sige_tpu.utils.checkpoint import (load_params, maybe_load_native,
+                                           save_params)
+
+    params = {"block": {"w": jnp.arange(12.0).reshape(3, 4),
+                        "b": jnp.zeros((4,))},
+              "scale": jnp.float32(2.5)}
+    path = save_params(str(tmp_path / "ckpt"), params)
+    got = load_params(path)
+    np.testing.assert_allclose(np.asarray(got["block"]["w"]),
+                               np.asarray(params["block"]["w"]))
+    np.testing.assert_allclose(float(got["scale"]), 2.5)
+
+    # the CLI dispatcher: directory -> native load, file/None -> None
+    assert maybe_load_native(path) is not None
+    assert maybe_load_native(None) is None
+    assert maybe_load_native(str(tmp_path / "missing.pth")) is None
