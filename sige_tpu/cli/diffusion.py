@@ -34,6 +34,9 @@ def get_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--warmup_times", type=int, default=20)
     p.add_argument("--test_times", type=int, default=100)
+    p.add_argument("--trace", type=str, default=None,
+                   help="write a jax.profiler trace of the profile loop "
+                        "to this directory (tensorboard-compatible)")
     return p.parse_args()
 
 
@@ -171,14 +174,24 @@ def main():
         pairs = [(d["name"], d["original"], d["edited"]) for d in ds]
 
     if args.mode == "profile":
-        for name, original, edited in pairs:
-            stats = runner.profile(original, edited,
-                                   warmup=args.warmup_times,
-                                   iters=args.test_times)
-            print(f"Image {name}: "
-                  f"Sparsity {100 * stats['edit_ratio']:.2f}%    "
-                  f"MACs {stats['macs_g']:.3f}G    "
-                  f"Avg Time {stats['latency_ms']:.3f}ms")
+        import contextlib
+
+        import jax
+
+        trace_cm = (jax.profiler.trace(args.trace) if args.trace
+                    else contextlib.nullcontext())
+        with trace_cm:
+            for name, original, edited in pairs:
+                stats = runner.profile(original, edited,
+                                       warmup=args.warmup_times,
+                                       iters=args.test_times)
+                print(f"Image {name}: "
+                      f"Sparsity {100 * stats['edit_ratio']:.2f}%    "
+                      f"MACs {stats['macs_g']:.3f}G    "
+                      f"Avg Time {stats['latency_ms']:.3f}ms")
+        if args.trace:
+            print(f"profiler trace written to {args.trace} "
+                  "(view with tensorboard / xprof)")
     else:
         from ..data import save_image
 

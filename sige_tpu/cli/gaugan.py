@@ -45,6 +45,9 @@ def get_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--warmup_times", type=int, default=20)
     p.add_argument("--test_times", type=int, default=100)
+    p.add_argument("--trace", type=str, default=None,
+                   help="write a jax.profiler trace of the run "
+                        "to this directory (tensorboard-compatible)")
     return p.parse_args()
 
 
@@ -131,6 +134,19 @@ def main():
             args.data_root, symmetric=not args.no_symmetric_editing,
             image_ids=args.image_ids))
 
+    import contextlib
+
+    import jax
+
+    trace_cm = (jax.profiler.trace(args.trace)
+                if getattr(args, "trace", None) else contextlib.nullcontext())
+    with trace_cm:
+        _run_items(args, runner, items, dense)
+    if getattr(args, "trace", None):
+        print(f"profiler trace written to {args.trace}")
+
+
+def _run_items(args, runner, items, dense):
     for item in items:
         s0 = runner.preprocess_input(item["original_label"], item["original_instance"])
         s1 = runner.preprocess_input(item["edited_label"], item["edited_instance"])
