@@ -31,6 +31,13 @@ from ...nn.module import (
     sow_macs,
 )
 from ...ops.scatter import materialize_tiles_box, scatter_gather_residual_tiles
+from ...ops.window import (
+    window_chain_extend,
+    window_chain_extend_up2,
+    window_gather,
+    window_slot_window,
+    window_state_materialize,
+)
 from ...nn.norm import group_norm_with_affine
 from ..ddpm.unet import _FoldedGroupNorm, _swish
 
@@ -52,8 +59,25 @@ class TileState:
                                      self.pix_org, self.geom)
 
 
+class WindowState:
+    """Carried state of a window-resident chain: the canonical window of
+    the current layer's output plus the slotted cache variable that
+    supplies the rest of the map (exact everywhere: inside the window the
+    carried values, outside the cache — see ops/window.py chain docs)."""
+
+    def __init__(self, win, cache5, cache_id, org):
+        self.win = win          # [B, WH, WW, C]
+        self.cache5 = cache5    # [slots, B, H, W, C]
+        self.cache_id = cache_id
+        self.org = org          # [2] int32 canonical origin
+
+    def to_map(self):
+        return window_state_materialize(self.cache5, self.cache_id,
+                                        self.win, self.org)
+
+
 def _ensure_map(x):
-    return x.to_map() if isinstance(x, TileState) else x
+    return x.to_map() if isinstance(x, (TileState, WindowState)) else x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +102,11 @@ class SDVAEConfig:
     #: at attention/upsample/level boundaries). Opt-in TPU optimization; no
     #: reference counterpart.
     tile_chain: bool = False
+    #: window-layout chains: thread (window, cache) state through
+    #: resblocks AND upsamples so full maps only materialize at attention
+    #: and the decoder tail. On by default — strictly fewer full-canvas
+    #: copies; exactness (sparse == full on the original input) holds.
+    window_chain: bool = True
     cache_slots: int = 1
 
 
@@ -131,7 +160,15 @@ class SIGEVAEResnetBlock(SIGEModule):
         return (self.cfg.tile_chain and self.main_sparse
                 and self.in_channels == self.out_channels)
 
+    @property
+    def _window_chainable(self) -> bool:
+        return self.cfg.window_chain and self.main_sparse
+
     def __call__(self, x, ctx: SIGECtx):
+        if (ctx.mode == "sparse" and self.main_sparse
+                and self.main_gather.planned_window()
+                and self._window_chainable and not ctx.sparse_update):
+            return self._chain_window(x, ctx)
         if (ctx.mode == "sparse" and self._chainable and not ctx.sparse_update
                 and not self.main_gather.planned_window()):
             return self._chain_sparse(x, ctx)
@@ -174,6 +211,50 @@ class SIGEVAEResnetBlock(SIGEModule):
         if self.main_sparse:
             return self.join(h, ctx, residual=xs)
         return h + xs
+
+    def _chain_window(self, x, ctx: SIGECtx) -> "WindowState":
+        """Window-resident sparse path: the resblock consumes a carried
+        window (or slices one from a materialized map at chain start) and
+        emits the joined canonical window — no full map in between."""
+        g = self.main_gather
+        meta = g.get_variable("sige", "win_in")
+        edge = g.get_variable("sige", "win_edge")
+        org = g.get_variable("sige", "win_org")
+
+        _, s1, b1 = self.norm1(None, ctx)
+        if isinstance(x, WindowState):
+            ext = window_chain_extend(x.win, x.org, x.cache5, x.cache_id,
+                                      meta, edge, s1, b1, "swish")
+        else:
+            ext = window_gather(x, meta, edge, s1, b1, "swish")
+        h = self.conv1(ext, ctx)
+        _, s2, b2 = self.norm2(h, ctx)
+        h = self.sg(h, ctx, scale=s2, shift=b2)
+        h = self.conv2(h, ctx)  # [B, WH, WW, cout]
+
+        cache5 = self.join.get_variable("cache", "original")
+        res = cache5.shape[2:4]
+        _, cov = g.read_wsc(res)
+
+        # shortcut over the canonical window (recomputed fresh — exact:
+        # where the input equals the original it reproduces the cache)
+        WH, WW = cov.shape
+        if isinstance(x, WindowState):
+            xs = x.win
+        else:
+            zero = jnp.int32(0)
+            xs = jax.lax.dynamic_slice(
+                x, (zero, org[0], org[1], zero),
+                (x.shape[0], WH, WW, x.shape[3]))
+        if self.in_channels != self.out_channels:
+            xs = self.nin_shortcut(xs, ctx)
+            if self.shortcut_sparse:
+                _, cov_s = self.shortcut_gather.read_wsc(res)
+                cov = cov | cov_s
+
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        out = jnp.where(cov[None, :, :, None], h + xs, y0w)
+        return WindowState(out, cache5, ctx.cache_id, org)
 
     def _chain_sparse(self, x, ctx: SIGECtx) -> "TileState":
         """Tile-resident sparse path (identity shortcut): the chain state
@@ -330,6 +411,26 @@ class SIGEVAEUpsample(SIGEModule):
             self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
+        if (isinstance(x, WindowState) and self.sparse_ok
+                and self.g.planned_window()
+                and self.g.has_variable("sige", "wup_ok")
+                and not ctx.sparse_update):
+            # window-resident across the resample: the doubled carried
+            # window covers the extraction window (planner nesting), so
+            # the step is repeat + slice — the full map is never touched
+            win2 = jnp.repeat(jnp.repeat(x.win, 2, axis=1), 2, axis=2)
+            ext = window_chain_extend_up2(
+                win2, x.org * 2,
+                self.g.get_variable("sige", "win_in"),
+                self.g.get_variable("sige", "win_edge"))
+            h = self.conv(ext, ctx)
+            cache5 = self.s.get_variable("cache", "original")
+            org = self.g.get_variable("sige", "win_org")
+            _, cov = self.g.read_wsc(cache5.shape[2:4])
+            y0w = window_slot_window(cache5, ctx.cache_id, org, cov.shape)
+            out = jnp.where(cov[None, :, :, None], h, y0w)
+            return WindowState(out, cache5, ctx.cache_id, org)
+        x = _ensure_map(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         if self.sparse_ok:
             x = self.g(x, ctx)
@@ -400,6 +501,7 @@ class SIGEEncoder(SIGEModule):
         h = _ensure_map(h)
         h = self.mid_attn(h, ctx)
         h = self.mid_block2(h, ctx)
+        h = _ensure_map(h)
         h, _, _ = group_norm_with_affine(
             h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)
         h = _swish(h)
@@ -462,7 +564,8 @@ class SIGEDecoder(SIGEModule):
                     h = _ensure_map(h)
                     h = self.up_attns[i][ib](h, ctx)
             if i != 0:
-                h = _ensure_map(h)
+                # the upsample consumes WindowState directly (window
+                # chains cross the resample; it materializes otherwise)
                 h = self.upsamples[i - 1](h, ctx)
         h = _ensure_map(h)
         h, _, _ = group_norm_with_affine(

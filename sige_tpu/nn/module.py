@@ -47,7 +47,7 @@ from ..ops.window import (
     window_gather,
     window_scatter,
     window_scatter_block_residual,
-    window_scatter_gather,
+    window_scatter_gather_slot,
 )
 
 IntPair = Tuple[int, int]
@@ -284,21 +284,22 @@ class ScatterGather(SIGEModule):
             return x
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
-            y = _read_slot(cache, ctx.cache_id)
             geom = self.gather.geom
-            res = y.shape[1:3]
+            res = cache.shape[2:4]
             if self.gather.planned_window():
                 meta, edge, cov = self.gather.read_wsg(res)
-                out = window_scatter_gather(
-                    x, y, meta, edge, cov, geom.offset,
+                out = window_scatter_gather_slot(
+                    x, cache, ctx.cache_id, meta, edge, cov, geom.offset,
                     scale, shift, self.activation, self.activation_first,
                 )
                 if ctx.sparse_update and self.is_mutable_collection("cache"):
+                    y = _read_slot(cache, ctx.cache_id)
                     org, wcov = self.gather.read_wsc(res)
                     updated = window_scatter(x, y, org, wcov)
                     self.put_variable(
                         "cache", "original", cache.at[ctx.cache_id].set(updated))
                 return out
+            y = _read_slot(cache, ctx.cache_id)
             sg_src, sg_flat = self.gather.read_sg(res)
             out = scatter_gather_tiles(
                 x, y, sg_src, sg_flat, geom,

@@ -57,19 +57,105 @@ def _fit_window(lo: int, hi: int, limit: int, mult: int) -> Tuple[int, int]:
     return max(min(int(lo), limit - size), 0), size
 
 
-def _canonical_window(mask: np.ndarray, mult: int = 16
-                      ) -> Tuple[int, int, int, int]:
-    """(r0, c0, WH, WW): bucketed bounding box of the mask — THE window
-    every gather/scatter at this resolution shares (alignment lets
-    window-mode joins stay pure elementwise)."""
+def _mask_bounds(mask: np.ndarray, mult: int):
     H, W = mask.shape
     rows = np.flatnonzero(mask.any(axis=1))
     cols = np.flatnonzero(mask.any(axis=0))
     if rows.size == 0:
-        return 0, 0, min(mult, H), min(mult, W)
-    r0, wh = _fit_window(rows[0], rows[-1] + 1, H, mult)
-    c0, ww = _fit_window(cols[0], cols[-1] + 1, W, mult)
-    return r0, c0, wh, ww
+        return 0, min(mult, H), 0, min(mult, W)
+    return rows[0], rows[-1] + 1, cols[0], cols[-1] + 1
+
+
+def _gather_out_reses(node, geom: BlockGeometry, in_res: IntPair):
+    """Conv output resolutions of one gather record (same rule as
+    _window_entry: recorded scatter/sg resolutions, else geometry)."""
+    reses = {tuple(int(i) for i in np.asarray(a))
+             for key in ("scatter_res", "sg_res")
+             for a in node.get(key, ())}
+    if not reses:
+        kh, kw = geom.kernel_size
+        sh, sw = geom.conv_stride
+        oh, ow = geom.offset
+        reses = {((in_res[0] + 2 * oh - kh) // sh + 1,
+                  (in_res[1] + 2 * ow - kw) // sw + 1)}
+    return reses
+
+
+def _collect_window_reses(meta: Mapping) -> set:
+    """Every conv-output resolution some gather windows at — the ONLY
+    resolutions canonical windows exist for. Tiny mask-pyramid tails no
+    gather consumes must not join the cross-resolution nesting below: a
+    minimum-size window at 4^2 is the whole canvas there, and doubling
+    constraints would cascade that to full-canvas windows everywhere."""
+    out = set()
+    for node in meta.values():
+        if _is_gather_record(node):
+            geom = _unpack_geom(_first(node["geom"]))
+            in_res = tuple(int(i) for i in np.asarray(_first(node["input_res"])))
+            out |= _gather_out_reses(node, geom, in_res)
+        elif isinstance(node, Mapping):
+            out |= _collect_window_reses(node)
+    return out
+
+
+def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
+                            mult: int = 16,
+                            consumed: Optional[set] = None
+                            ) -> Dict[IntPair, Tuple]:
+    """{res: (r0, c0, WH, WW)} — THE bucketed window every gather/scatter
+    at a resolution shares (alignment keeps window-mode joins pure
+    elementwise).
+
+    Cross-resolution nesting for window-resident chains: the window at
+    (h, w) covers the ceil-half of the window at (2h, 2w) plus a 1px
+    halo, so a carried window DOUBLED across an upsample covers the
+    finer consumer's whole extraction window (which then slices straight
+    out of it — ops/window.py window_chain_extend_up2). Growth cascades
+    to *coarser* resolutions only, where windows are cheap; the reverse
+    direction (fine windows covering doubled coarse ones) amplifies
+    bucketing slack 2x per level and must not be used.
+
+    ``consumed`` restricts the planned resolutions (and therefore the
+    nesting pairs) to resolutions some gather actually windows at
+    (:func:`_collect_window_reses`) — tiny mask-pyramid tails must not
+    participate, or their full-canvas minimum windows cascade."""
+    if consumed is not None:
+        masks = {res: m for res, m in masks.items() if res in consumed}
+    reses = sorted(masks.keys())
+    lo: Dict[IntPair, list] = {
+        res: list(_mask_bounds(np.asarray(masks[res], bool), mult))
+        for res in reses}
+
+    def fit(res):
+        r_lo, r_hi, c_lo, c_hi = lo[res]
+        r0, wh = _fit_window(r_lo, r_hi, res[0], mult)
+        c0, ww = _fit_window(c_lo, c_hi, res[1], mult)
+        return (r0, c0, wh, ww)
+
+    def grow(res, r_lo, r_hi, c_lo, c_hi) -> bool:
+        b = lo[res]
+        want = [min(b[0], max(r_lo, 0)), max(b[1], min(r_hi, res[0])),
+                min(b[2], max(c_lo, 0)), max(b[3], min(c_hi, res[1]))]
+        if want != b:
+            lo[res] = want
+            return True
+        return False
+
+    # iterate on the FITTED extents (bucketing can widen a window past
+    # its raw bounds, re-breaking a neighbour's containment); extents
+    # only grow and are canvas-capped, so this terminates
+    for _ in range(8):
+        fitted = {res: fit(res) for res in reses}
+        changed = False
+        for res in reses:           # fine -> coarse: cover finer/2 + halo
+            dbl = (res[0] * 2, res[1] * 2)
+            if dbl in fitted:
+                r0, c0, wh, ww = fitted[dbl]
+                changed |= grow(res, r0 // 2 - 1, -(-(r0 + wh) // 2) + 1,
+                                c0 // 2 - 1, -(-(c0 + ww) // 2) + 1)
+        if not changed:
+            break
+    return {res: fit(res) for res in reses}
 
 
 def _window_meta(idx0: IntPair, ext: IntPair, limit: IntPair):
@@ -108,6 +194,9 @@ def build_plan(
     """
     if _memo is None:
         _memo = {}
+    if layout == "window" and "windows" not in _memo:
+        _memo["windows"] = _plan_canonical_windows(
+            masks, consumed=_collect_window_reses(meta))
     plan: Dict = {}
     for name, node in meta.items():
         if _is_gather_record(node):
@@ -199,18 +288,25 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
         f"window layout expects one conv output resolution per gather, "
         f"got {out_reses}")
     ores = out_reses[0]
-    wkey = ("window", ores)
-    if wkey not in _memo:
-        if ores not in masks:
-            raise KeyError(f"no mask for window resolution {ores}")
-        _memo[wkey] = _canonical_window(np.asarray(masks[ores], bool), mult)
-    r0, c0, WH, WW = _memo[wkey]
+    if ores not in _memo["windows"]:
+        raise KeyError(f"no mask for window resolution {ores}")
+    r0, c0, WH, WW = _memo["windows"][ores]
 
     # gather input window (conv input extent incl. halo)
     ext = ((WH - 1) * sh + kh, (WW - 1) * sw + kw)
-    meta, edge = _window_meta((r0 * sh - oh, c0 * sw - ow), ext, in_res)
+    v_org = (r0 * sh - oh, c0 * sw - ow)
+    meta, edge = _window_meta(v_org, ext, in_res)
     entry["win_in"] = meta
     entry["win_edge"] = edge
+    entry["win_org"] = np.array([r0, c0], np.int32)
+
+    # chain-across-upsample marker: the nesting constraint above makes
+    # the DOUBLED carried window at in_res//2 cover this extraction
+    # window, so the chain step is a pure slice (window_chain_extend_up2)
+    half = (in_res[0] // 2, in_res[1] // 2)
+    if (sh, sw) == (1, 1) and half in _memo["windows"] \
+            and in_res[0] % 2 == 0 and in_res[1] % 2 == 0:
+        entry["wup_ok"] = np.int32(1)
 
     skey = ("srcmap", in_res, geom, None, ores, "w")
     if skey not in _memo:

@@ -95,16 +95,43 @@ def window_scatter_gather(
     sits at that static offset inside the ring window.
     """
     base = _extract_window(cache, meta, edge)
+    return _wsg_tail(base, h_win, cov, pad, edge, scale, shift,
+                     activation, activation_first)
+
+
+def _wsg_tail(base, h_win, cov, pad, edge, scale, shift, activation,
+              activation_first):
     pr, pc = pad
     WH, WW = cov.shape
     inter = jax.lax.slice(
         base, (0, pr, pc, 0),
         (base.shape[0], pr + WH, pc + WW, base.shape[3]))
-    mixed = jnp.where(cov[None, :, :, None], h_win, inter)
+    mixed = jnp.where(cov[None, :, :, None], h_win.astype(base.dtype), inter)
     z = jax.lax.dynamic_update_slice(
         base, mixed, (jnp.int32(0), jnp.int32(pr), jnp.int32(pc),
                       jnp.int32(0)))
     return _epilogue(z, edge, scale, shift, activation, activation_first)
+
+
+@partial(jax.jit, static_argnames=("pad", "activation", "activation_first"))
+def window_scatter_gather_slot(
+    h_win: jnp.ndarray,
+    cache5: jnp.ndarray,
+    cache_id,
+    meta: jnp.ndarray,
+    edge: jnp.ndarray,
+    cov: jnp.ndarray,
+    pad,
+    scale: Optional[jnp.ndarray] = None,
+    shift: Optional[jnp.ndarray] = None,
+    activation: str = "identity",
+    activation_first: bool = False,
+) -> jnp.ndarray:
+    """:func:`window_scatter_gather` reading the ring straight from the
+    slotted cache variable (avoids the full-canvas slot-squeeze copy)."""
+    base = _extract_window_slot(cache5, cache_id, meta, edge)
+    return _wsg_tail(base, h_win, cov, pad, edge, scale, shift,
+                     activation, activation_first)
 
 
 @partial(jax.jit, static_argnames=())
@@ -137,6 +164,129 @@ def window_scatter(
         fresh = fresh + r
     upd = jnp.where(cov[None, :, :, None], fresh, sl)
     return jax.lax.dynamic_update_slice(cache, upd, (zero, org[0], org[1], zero))
+
+
+# ---------------------------------------------------------------------
+# window-resident chains: consecutive windowed ops thread (window, cache)
+# pairs and never materialize full maps between them. A carried window
+# plus the producing layer's cache IS the exact full map (inside the
+# window the carried values, outside the cache — they agree on the
+# uncovered interior), so any later extraction window can be rebuilt
+# from a window-sized cache slice plus one window overlay. The planner
+# guarantees (cross-resolution nested canonical windows) that the
+# carried window always fits inside the consumer's extraction window, so
+# the dynamic_update_slice below never clamps.
+# ---------------------------------------------------------------------
+
+
+def _extract_window_slot(cache5: jnp.ndarray, cache_id, meta: jnp.ndarray,
+                         edge: jnp.ndarray) -> jnp.ndarray:
+    """[slots, B, H, W, C] slot ``cache_id`` -> [B, EH, EW, C] window per
+    (meta, edge) — one 5-D dynamic_slice, no full-map slot squeeze (a
+    squeezed slot feeding a window op costs a full-canvas layout copy)."""
+    S, B, H, W, C = cache5.shape
+    EH, EW = edge.shape
+    sh, sw = min(EH, H), min(EW, W)
+    zero = jnp.int32(0)
+    w = jax.lax.dynamic_slice(
+        cache5, (jnp.int32(cache_id), zero, meta[0], meta[1], zero),
+        (1, B, sh, sw, C))[0]
+    if sh < EH or sw < EW:
+        w = jnp.pad(w, ((0, 0), (0, EH - sh), (0, EW - sw), (0, 0)))
+    w = jnp.roll(w, (meta[2], meta[3]), axis=(1, 2))
+    return jnp.where(edge[None, :, :, None], w, jnp.zeros((), w.dtype))
+
+
+def window_slot_window(cache5: jnp.ndarray, cache_id, org: jnp.ndarray,
+                       shape) -> jnp.ndarray:
+    """[B, WH, WW, C] in-bounds window of slot ``cache_id`` at ``org``
+    (canonical windows are always in-image; no clamp/roll needed)."""
+    S, B, H, W, C = cache5.shape
+    WH, WW = shape
+    zero = jnp.int32(0)
+    return jax.lax.dynamic_slice(
+        cache5, (jnp.int32(cache_id), zero, org[0], org[1], zero),
+        (1, B, WH, WW, C))[0]
+
+
+@partial(jax.jit, static_argnames=("activation", "activation_first"))
+def window_chain_extend(
+    win: jnp.ndarray,
+    org: jnp.ndarray,
+    cache5: jnp.ndarray,
+    cache_id,
+    meta: jnp.ndarray,
+    edge: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    shift: Optional[jnp.ndarray] = None,
+    activation: str = "identity",
+    activation_first: bool = False,
+) -> jnp.ndarray:
+    """Chain analogue of :func:`window_gather`: rebuild the extraction
+    window of the virtual map (``cache5`` slot overlaid by the carried
+    ``win`` at canonical origin ``org``) and fuse the norm epilogue."""
+    ext = _extract_window_slot(cache5, cache_id, meta, edge)
+    rel_r = org[0] - (meta[0] - meta[2])
+    rel_c = org[1] - (meta[1] - meta[3])
+    ext = jax.lax.dynamic_update_slice(
+        ext, win.astype(ext.dtype), (jnp.int32(0), rel_r, rel_c, jnp.int32(0)))
+    return _epilogue(ext, edge, scale, shift, activation, activation_first)
+
+
+@partial(jax.jit, static_argnames=("activation", "activation_first"))
+def window_chain_extend_up2(
+    win2: jnp.ndarray,
+    org2: jnp.ndarray,
+    meta: jnp.ndarray,
+    edge: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    shift: Optional[jnp.ndarray] = None,
+    activation: str = "identity",
+    activation_first: bool = False,
+) -> jnp.ndarray:
+    """Chain step across a nearest-2x upsample: the planner's nesting
+    constraint makes the DOUBLED carried window (``win2`` at ``org2``,
+    both already x2) cover the whole extraction window, so the step is a
+    single slice of the carried window — no cache read, no full map.
+
+    The extraction window may poke past the image border (conv halo):
+    the slice start is clamped into the carried window, rolled back into
+    alignment, and the planned ``edge`` mask zeroes the OOB ring (the
+    same clamp+roll+mask recipe as :func:`_extract_window`)."""
+    B, WH2, WW2, C = win2.shape
+    EH, EW = edge.shape
+    if WH2 < EH or WW2 < EW:
+        # the extraction halo pokes past a whole-canvas carried window;
+        # every cell outside the carried window is out-of-image, so
+        # zero-padding is exact (the edge mask re-zeroes them anyway)
+        win2 = jnp.pad(win2, ((0, 0), (0, max(EH - WH2, 0)),
+                              (0, max(EW - WW2, 0)), (0, 0)))
+        WH2, WW2 = max(WH2, EH), max(WW2, EW)
+    v_r = meta[0] - meta[2]  # extraction window's virtual origin
+    v_c = meta[1] - meta[3]
+    raw_r = v_r - org2[0]
+    raw_c = v_c - org2[1]
+    cl_r = jnp.clip(raw_r, 0, WH2 - EH)
+    cl_c = jnp.clip(raw_c, 0, WW2 - EW)
+    ext = jax.lax.dynamic_slice(
+        win2, (jnp.int32(0), cl_r, cl_c, jnp.int32(0)), (B, EH, EW, C))
+    ext = jnp.roll(ext, (cl_r - raw_r, cl_c - raw_c), axis=(1, 2))
+    ext = jnp.where(edge[None, :, :, None], ext, jnp.zeros((), ext.dtype))
+    return _epilogue(ext, edge, scale, shift, activation, activation_first)
+
+
+@partial(jax.jit, static_argnames=())
+def window_state_materialize(cache5: jnp.ndarray, cache_id,
+                             win: jnp.ndarray, org: jnp.ndarray) -> jnp.ndarray:
+    """Chain break: overlay the carried window over the full cached map
+    (the one full-canvas copy a chain pays, at its very end)."""
+    S = cache5.shape[0]
+    base = jax.lax.dynamic_slice(
+        cache5, (jnp.int32(cache_id),) + (jnp.int32(0),) * 4,
+        (1,) + cache5.shape[1:])[0]
+    zero = jnp.int32(0)
+    return jax.lax.dynamic_update_slice(base, win.astype(base.dtype),
+                                        (zero, org[0], org[1], zero))
 
 
 @partial(jax.jit, static_argnames=())

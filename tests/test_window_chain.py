@@ -1,0 +1,93 @@
+"""Window-resident chains (ops/window.py chain ops; vae.py WindowState):
+resblocks and upsamples thread (window, cache) state without
+materializing full maps; exactness must match the plain window layout."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sige_tpu.core.masks import (compute_difference_mask, dilate_mask,
+                                 downsample_mask)
+from sige_tpu.models.sd import SDVAEConfig, SIGEDecoder, SIGEEncoder
+from sige_tpu.nn import SIGEModel
+from sige_tpu.nn.module import SIGECtx
+
+CFG3 = SDVAEConfig(ch=16, ch_mult=(1, 2, 4), num_res_blocks=1,
+                   attn_resolutions=(), z_channels=4, resolution=64,
+                   num_groups=8)
+
+
+def _decoder(chain: bool, bucket_min=1):
+    cfg = dataclasses.replace(CFG3, window_chain=chain)
+    model = SIGEModel(SIGEDecoder(cfg=cfg), layout="window",
+                      bucket_min=bucket_min)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+    model.init(jax.random.key(0), z)
+    return model, z
+
+
+def _mask64():
+    mask = np.zeros((64, 64), bool)
+    mask[20:32, 24:40] = True
+    return dilate_mask(mask, 4)
+
+
+@pytest.mark.parametrize("chain", [False, True])
+def test_decoder_two_upsample_sparse_on_original_exact(chain):
+    model, z = _decoder(chain)
+    full = model.full(z)
+    model.set_masks(downsample_mask(_mask64(), min_res=4))
+    sp = model.sparse(z)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+
+def test_decoder_chain_edit_changes_inside_window_only():
+    """On an edited input the chain recomputes (at most) the canonical
+    windows: outside every window the output equals the cached full-pass
+    result, inside the edit region it must actually change. (Sparse does
+    not track dense-on-edited bit-for-bit by design: the folded norms
+    replay the ORIGINAL image's statistics, the reference's semantics.)"""
+    model, z = _decoder(True)
+    full = np.asarray(model.full(z))
+    model.set_masks(downsample_mask(_mask64(), min_res=4))
+    ze = z.at[:, 6:8, 7:10].add(0.5)
+    sp = np.asarray(model.sparse(ze))
+    assert np.isfinite(sp).all()
+    # the edit region (latent 6:8,7:10 -> image 24:32,28:40) changed
+    assert np.abs(sp - full)[0, 24:32, 28:40].max() > 1e-3
+    # the far corner only moves by the dense tail's global live-stat
+    # shift (the reference's SD decoder tail also renormalizes live) —
+    # an order of magnitude less than the in-window change
+    out_shift = np.abs(sp - full)[0, :8, :8].max()
+    in_shift = np.abs(sp - full)[0, 24:32, 28:40].max()
+    assert out_shift < 0.25 * in_shift, (out_shift, in_shift)
+
+
+def test_decoder_chain_matches_nonchain_on_edit():
+    """Chain and plain window layouts freshen the same window; on an
+    edited input they must agree wherever both recompute (everywhere in
+    the window's covered region) and trivially elsewhere."""
+    outs = []
+    for chain in (False, True):
+        model, z = _decoder(chain)
+        model.full(z)
+        model.set_masks(downsample_mask(_mask64(), min_res=4))
+        ze = z.at[:, 6:8, 7:10].add(0.5)
+        outs.append(np.asarray(model.sparse(ze)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
+def test_encoder_chain_sparse_on_original_exact():
+    cfg = dataclasses.replace(CFG3, window_chain=True)
+    model = SIGEModel(SIGEEncoder(cfg=cfg), layout="window", bucket_min=1)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    model.init(jax.random.key(0), x)
+    full = model.full(x)
+    model.set_masks(downsample_mask(_mask64(), min_res=4))
+    sp = model.sparse(x)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
