@@ -107,7 +107,41 @@ class SDVAEConfig:
     #: and the decoder tail. On by default — strictly fewer full-canvas
     #: copies; exactness (sparse == full on the original input) holds.
     window_chain: bool = True
+    #: SIGE-ify the decoder tail (fold norm_out's affine from the full
+    #: pass, window/tile the conv_out). The reference's SD decoder keeps
+    #: a dense live-stat tail; freezing the original image's statistics
+    #: matches its own DDPM/GauGAN norm-fold semantics and removes the
+    #: last full-resolution dense compute from the sparse path.
+    sige_tail: bool = True
     cache_slots: int = 1
+
+
+class _FoldedNormAffine(SIGEModule):
+    """GroupNorm using externally-owned (w, b) params whose equivalent
+    per-channel affine is cached per slot in full mode and replayed in
+    sparse mode (the decoder-tail variant of _FoldedGroupNorm — the
+    affine params stay where the checkpoint converters put them)."""
+
+    num_groups: int
+    cache_slots: int = 1
+
+    @nn.compact
+    def __call__(self, x, w, b, ctx: SIGECtx):
+        from ...nn.module import _slotted_cache
+
+        if ctx.mode == "dense":
+            xn, _, _ = group_norm_with_affine(x, self.num_groups, w, b,
+                                              eps=1e-6)
+            return xn, None, None
+        if ctx.mode == "full":
+            xn, sc, sh = group_norm_with_affine(x, self.num_groups, w, b,
+                                                eps=1e-6)
+            _slotted_cache(self, "scale", sc, self.cache_slots, ctx.cache_id)
+            _slotted_cache(self, "shift", sh, self.cache_slots, ctx.cache_id)
+            return xn, None, None
+        sc = _read_slot(self.get_variable("cache", "scale"), ctx.cache_id)
+        sh = _read_slot(self.get_variable("cache", "shift"), ctx.cache_id)
+        return None, sc, sh
 
 
 class SIGEVAEResnetBlock(SIGEModule):
@@ -547,8 +581,57 @@ class SIGEDecoder(SIGEModule):
             "norm_out_scale", nn.initializers.ones_init(), (block_in,))
         self.norm_out_bias = self.param(
             "norm_out_bias", nn.initializers.zeros_init(), (block_in,))
+        self._tail_sparse = (cfg.sige_tail
+                             and cfg.main_block_size is not None)
         self.conv_out = SIGEConv2d(features=cfg.out_ch, kernel_size=3,
-                                   padding=1, tile_input=False)
+                                   padding=1,
+                                   tile_input=self._tail_sparse)
+        if self._tail_sparse:
+            # param-free SIGE pair for the tail: norm_out's affine is
+            # folded from the full pass into the gather epilogue
+            # (reference keeps this tail dense; its DDPM models fold
+            # every norm this way — sige_fused_unet.py:66-98)
+            self.norm_out_fold = _FoldedNormAffine(
+                num_groups=cfg.num_groups, cache_slots=cfg.cache_slots)
+            self.out_gather = Gather(block_size=cfg.main_block_size,
+                                     kernel_size=3, conv_stride=1,
+                                     conv_padding=1, activation="swish")
+            self.out_scatter = Scatter(gather=self.out_gather,
+                                       cache_slots=cfg.cache_slots)
+
+    def _tail(self, h, ctx: SIGECtx):
+        """norm_out -> swish -> conv_out. Dense mode is the reference's
+        live-stat tail; full mode additionally caches the folded affine
+        and output map; sparse replays them windowed/tiled (frozen
+        original statistics — the reference's own norm-fold semantics)."""
+        cfg = self.cfg
+        if not self._tail_sparse or ctx.mode == "dense":
+            h = _ensure_map(h)
+            h, _, _ = group_norm_with_affine(
+                h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias,
+                eps=1e-6)
+            return self.conv_out(_swish(h), ctx)
+        if ctx.mode == "full":
+            h = _ensure_map(h)
+            hn, _, _ = self.norm_out_fold(
+                h, self.norm_out_scale, self.norm_out_bias, ctx)
+            self.out_gather(h, ctx)  # records meta
+            out = self.conv_out(_swish(hn), ctx)
+            return self.out_scatter(out, ctx)
+        # sparse
+        _, sc, sh = self.norm_out_fold(
+            None, self.norm_out_scale, self.norm_out_bias, ctx)
+        if (isinstance(h, WindowState)
+                and self.out_gather.planned_window()):
+            ext = window_chain_extend(
+                h.win, h.org, h.cache5, h.cache_id,
+                self.out_gather.get_variable("sige", "win_in"),
+                self.out_gather.get_variable("sige", "win_edge"),
+                sc, sh, "swish")
+        else:
+            ext = self.out_gather(_ensure_map(h), ctx, scale=sc, shift=sh)
+        out = self.conv_out(ext, ctx)
+        return self.out_scatter(out, ctx)
 
     def __call__(self, z, ctx: SIGECtx):
         cfg = self.cfg
@@ -567,6 +650,8 @@ class SIGEDecoder(SIGEModule):
                 # the upsample consumes WindowState directly (window
                 # chains cross the resample; it materializes otherwise)
                 h = self.upsamples[i - 1](h, ctx)
+        if self._tail_sparse:
+            return self._tail(h, ctx)
         h = _ensure_map(h)
         h, _, _ = group_norm_with_affine(
             h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)

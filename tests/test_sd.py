@@ -212,7 +212,10 @@ def test_sd_decoder_sparse_on_edit_tracks_dense_tile_chain():
     rng = np.random.default_rng(12)
     R = TINY_VAE.resolution
     L = R // 2
-    cfg = dc.replace(TINY_VAE, tile_chain=True)
+    # sige_tail=False: this test isolates the tile-resident chain; the
+    # folded tail freezes norm_out on the original image's statistics
+    # (by design) which alone shifts p99 just past this tolerance
+    cfg = dc.replace(TINY_VAE, tile_chain=True, sige_tail=False)
     z0 = jnp.asarray(rng.standard_normal((1, L, L, 4)).astype(np.float32))
     lmask = np.zeros((L, L), bool)
     lmask[L // 4 : L // 4 + 4, L // 3 : L // 3 + 4] = True
