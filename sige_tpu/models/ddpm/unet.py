@@ -50,10 +50,23 @@ from ...nn.module import (
     SIGEConv2d,
     SIGECtx,
     SIGEModule,
+    WindowState,
     _slotted_cache,
     sow_macs,
 )
 from ...nn.norm import group_norm_with_affine
+from ...ops.window import (
+    window_chain_extend,
+    window_chain_extend_up2,
+    window_epilogue,
+    window_gather,
+    window_slot_window,
+)
+
+
+def _to_map(x):
+    """Materialize a chain state at a chain break."""
+    return x.to_map() if isinstance(x, WindowState) else x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +86,17 @@ class DDPMUNetConfig:
     block_size_normal: Optional[int] = 6
     block_size_instance: Optional[int] = 4
     sparse_resolution_threshold: int = 64
+    #: window-layout chains: thread (window, cache) state through
+    #: resblocks, skip concatenations and upsamples (full maps only at
+    #: attention / downsamples / the tail). Strictly fewer full-canvas
+    #: copies; sparse == full on the original input is preserved.
+    window_chain: bool = True
+    #: SIGE-ify the tail (fold norm_out's affine from the full pass,
+    #: gather/scatter the conv_out). The reference keeps the tail dense
+    #: with live statistics (sige_fused_unet.py:431-433); freezing the
+    #: original image's statistics matches its norm-fold semantics
+    #: everywhere else and removes the last full-res dense compute.
+    sige_tail: bool = True
     cache_slots: int = 1
 
     @property
@@ -145,6 +169,34 @@ class _FoldedGroupNorm(nn.Module):
         raise ValueError(ctx.mode)
 
 
+class _FoldedNormAffine(SIGEModule):
+    """GroupNorm using externally-owned (w, b) params whose equivalent
+    per-channel affine is cached per slot in full mode and replayed in
+    sparse mode (the model-tail variant of _FoldedGroupNorm — the affine
+    params stay where the checkpoint converters put them)."""
+
+    num_groups: int
+    cache_slots: int = 1
+
+    @nn.compact
+    def __call__(self, x, w, b, ctx: SIGECtx):
+        from ...nn.module import _read_slot
+
+        if ctx.mode == "dense":
+            xn, _, _ = group_norm_with_affine(x, self.num_groups, w, b,
+                                              eps=1e-6)
+            return xn, None, None
+        if ctx.mode == "full":
+            xn, sc, sh = group_norm_with_affine(x, self.num_groups, w, b,
+                                                eps=1e-6)
+            _slotted_cache(self, "scale", sc, self.cache_slots, ctx.cache_id)
+            _slotted_cache(self, "shift", sh, self.cache_slots, ctx.cache_id)
+            return xn, None, None
+        sc = _read_slot(self.get_variable("cache", "scale"), ctx.cache_id)
+        sh = _read_slot(self.get_variable("cache", "shift"), ctx.cache_id)
+        return None, sc, sh
+
+
 class SIGEResnetBlock(SIGEModule):
     """Reference: diffusion/models/ddpm_arch/sige_fused_unet.py:10-131."""
 
@@ -195,7 +247,20 @@ class SIGEResnetBlock(SIGEModule):
 
     def __call__(self, x, temb, ctx: SIGECtx):
         """``temb``: [B, out_channels] pre-sliced fused projection (full /
-        dense modes; ignored in sparse — it lives in the cached shift)."""
+        dense modes; ignored in sparse — it lives in the cached shift).
+
+        ``x`` may be a tuple (h, skip) — the U-Net's skip concatenation:
+        dense/full/tile modes concatenate the maps here; the
+        window-chain sparse path extends each part's window separately
+        and concatenates window-resident."""
+        if (ctx.mode == "sparse" and self.main_sparse
+                and self.cfg.window_chain and not ctx.sparse_update
+                and self.main_gather.planned_window()):
+            return self._chain_window(x, ctx)
+        if isinstance(x, tuple):
+            x = jnp.concatenate([_to_map(a) for a in x], axis=-1)
+        else:
+            x = _to_map(x)
         h, xs = x, x
         if self.in_channels != self.out_channels:
             if self.shortcut_sparse:
@@ -231,6 +296,62 @@ class SIGEResnetBlock(SIGEModule):
         if self.main_sparse:
             return self.join(h, ctx, residual=xs)
         return h + xs
+
+    # -- window-resident sparse path (mirrors vae.py _chain_window) ------
+    def _extend_part(self, p, meta, edge):
+        if isinstance(p, WindowState):
+            return window_chain_extend(p.win, p.org, p.cache5, p.cache_id,
+                                       meta, edge)
+        return window_gather(p, meta, edge)
+
+    def _part_window(self, p, org, shape):
+        if isinstance(p, WindowState):
+            return p.win
+        zero = jnp.int32(0)
+        return jax.lax.dynamic_slice(
+            p, (zero, org[0], org[1], zero),
+            (p.shape[0], shape[0], shape[1], p.shape[3]))
+
+    def _chain_window(self, x, ctx: SIGECtx) -> "WindowState":
+        g = self.main_gather
+        meta = g.get_variable("sige", "win_in")
+        edge = g.get_variable("sige", "win_edge")
+        org = g.get_variable("sige", "win_org")
+        parts = x if isinstance(x, tuple) else (x,)
+
+        _, s1, b1 = self.norm1(None, ctx)
+        ext = jnp.concatenate(
+            [self._extend_part(p, meta, edge) for p in parts], axis=-1)
+        ext = window_epilogue(ext, edge, s1, b1, "swish")
+        h = self.conv1(ext, ctx)
+        _, s2, b2 = self.norm2(h, ctx)  # cached affine includes temb shift
+        h = self.sg(h, ctx, scale=s2, shift=b2)
+        h = self.conv2(h, ctx)
+
+        cache5 = self.join.get_variable("cache", "original")
+        res = cache5.shape[2:4]
+        _, cov = g.read_wsc(res)
+        WH, WW = cov.shape
+        xs = jnp.concatenate(
+            [self._part_window(p, org, (WH, WW)) for p in parts], axis=-1)
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        m = cov[None, :, :, None]
+        if self.in_channels != self.out_channels:
+            xs = self.nin_shortcut(xs, ctx)
+            if self.shortcut_sparse:
+                # exact two-mask block-residual join (matches
+                # window_scatter_block_residual / the tile engine):
+                # out = where(m, main + y1, y0) + where(s, short - y1, 0)
+                _, cov_s = self.shortcut_gather.read_wsc(res)
+                y1w = window_slot_window(
+                    self.join.get_variable("cache", "residual"),
+                    ctx.cache_id, org, (WH, WW))
+                s = cov_s[None, :, :, None]
+                out = (jnp.where(m, h + y1w, y0w)
+                       + jnp.where(s, xs - y1w, jnp.zeros((), h.dtype)))
+                return WindowState(out, cache5, ctx.cache_id, org)
+        out = jnp.where(m, h + xs, y0w)
+        return WindowState(out, cache5, ctx.cache_id, org)
 
 
 class SIGEAttnBlock(SIGEModule):
@@ -268,6 +389,7 @@ class SIGEAttnBlock(SIGEModule):
         return out.reshape(B, H, W, C)
 
     def __call__(self, x, ctx: SIGECtx):
+        x = _to_map(x)  # global attention needs the full map (chain break)
         if ctx.mode in ("dense", "full"):
             h = x
             if self.sparse_ok:
@@ -325,6 +447,8 @@ class SIGEDownsample(SIGEModule):
             self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
+        x = _to_map(x)  # stride-2 chains would need the cascade-prone
+        # fine-covers-coarse window nesting; materialize instead
         if self.sparse_ok:
             x = self.g(x, ctx)
         x = self.conv(x, ctx)
@@ -353,6 +477,25 @@ class SIGEUpsample(SIGEModule):
             self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
+        if (isinstance(x, WindowState) and self.sparse_ok
+                and self.g.planned_window()
+                and self.g.has_variable("sige", "wup_ok")
+                and not ctx.sparse_update):
+            # window-resident across the resample (see vae.py): the
+            # doubled carried window covers the extraction window
+            win2 = jnp.repeat(jnp.repeat(x.win, 2, axis=1), 2, axis=2)
+            ext = window_chain_extend_up2(
+                win2, x.org * 2,
+                self.g.get_variable("sige", "win_in"),
+                self.g.get_variable("sige", "win_edge"))
+            h = self.conv(ext, ctx)
+            cache5 = self.s.get_variable("cache", "original")
+            org = self.g.get_variable("sige", "win_org")
+            _, cov = self.g.read_wsc(cache5.shape[2:4])
+            y0w = window_slot_window(cache5, ctx.cache_id, org, cov.shape)
+            out = jnp.where(cov[None, :, :, None], h, y0w)
+            return WindowState(out, cache5, ctx.cache_id, org)
+        x = _to_map(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         if self.sparse_ok:
             x = self.g(x, ctx)
@@ -451,8 +594,43 @@ class SIGEFusedUNet(SIGEModule):
             "norm_out_scale", nn.initializers.ones_init(), (block_in,))
         self.norm_out_bias = self.param(
             "norm_out_bias", nn.initializers.zeros_init(), (block_in,))
+        self._tail_sparse = (cfg.sige_tail
+                             and cfg.block_size_normal is not None)
         self.conv_out = SIGEConv2d(features=cfg.out_ch, kernel_size=3, padding=1,
-                                   tile_input=False)
+                                   tile_input=self._tail_sparse)
+        if self._tail_sparse:
+            # param-free SIGE pair for the tail: norm_out's affine is
+            # folded from the full pass into the gather epilogue (the
+            # reference keeps this tail dense; sige_fused_unet.py:431-433)
+            self.norm_out_fold = _FoldedNormAffine(
+                num_groups=cfg.num_groups, cache_slots=cfg.cache_slots)
+            self.out_gather = Gather(block_size=cfg.block_size_normal,
+                                     kernel_size=3, conv_stride=1,
+                                     conv_padding=1, activation="swish")
+            self.out_scatter = Scatter(gather=self.out_gather,
+                                       cache_slots=cfg.cache_slots)
+
+    def _tail(self, h, ctx: SIGECtx):
+        if ctx.mode == "full":
+            h = _to_map(h)
+            hn, _, _ = self.norm_out_fold(
+                h, self.norm_out_scale, self.norm_out_bias, ctx)
+            self.out_gather(h, ctx)  # records meta
+            out = self.conv_out(_swish(hn), ctx)
+            return self.out_scatter(out, ctx)
+        # sparse
+        _, sc, sh = self.norm_out_fold(
+            None, self.norm_out_scale, self.norm_out_bias, ctx)
+        if isinstance(h, WindowState) and self.out_gather.planned_window():
+            ext = window_chain_extend(
+                h.win, h.org, h.cache5, h.cache_id,
+                self.out_gather.get_variable("sige", "win_in"),
+                self.out_gather.get_variable("sige", "win_edge"),
+                sc, sh, "swish")
+        else:
+            ext = self.out_gather(_to_map(h), ctx, scale=sc, shift=sh)
+        out = self.conv_out(ext, ctx)
+        return self.out_scatter(out, ctx)
 
     def __call__(self, x, t, ctx: SIGECtx):
         cfg = self.cfg
@@ -492,15 +670,18 @@ class SIGEFusedUNet(SIGEModule):
 
         for i in reversed(range(nres)):
             for ib in range(cfg.num_res_blocks + 1):
-                h = self.up_blocks[i][ib](
-                    jnp.concatenate([h, hs.pop()], axis=-1), tslice(), ctx)
+                # pass the skip join as a tuple: window-chain sparse
+                # extends both parts window-resident; other modes (and
+                # the resblock's non-chain paths) concatenate the maps
+                h = self.up_blocks[i][ib]((h, hs.pop()), tslice(), ctx)
                 if self.up_attns[i]:
                     h = self.up_attns[i][ib](h, ctx)
             if i != 0:
                 h = self.upsamples[i - 1](h, ctx)
 
-        # Final norm runs on the full map in every mode (the whole top
-        # level ends in scatters, so sparse h is already a full map).
+        if self._tail_sparse and ctx.mode != "dense":
+            return self._tail(h, ctx)
+        h = _to_map(h)
         h, _, _ = group_norm_with_affine(
             h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)
         h = _swish(h)

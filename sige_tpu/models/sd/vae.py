@@ -27,6 +27,7 @@ from ...nn.module import (
     SIGEConv2d,
     SIGECtx,
     SIGEModule,
+    WindowState,
     _read_slot,
     sow_macs,
 )
@@ -36,10 +37,9 @@ from ...ops.window import (
     window_chain_extend_up2,
     window_gather,
     window_slot_window,
-    window_state_materialize,
 )
 from ...nn.norm import group_norm_with_affine
-from ..ddpm.unet import _FoldedGroupNorm, _swish
+from ..ddpm.unet import _FoldedGroupNorm, _FoldedNormAffine, _swish
 
 
 class TileState:
@@ -57,23 +57,6 @@ class TileState:
     def to_map(self):
         return materialize_tiles_box(self.tiles, self.y0, self.pix_box,
                                      self.pix_org, self.geom)
-
-
-class WindowState:
-    """Carried state of a window-resident chain: the canonical window of
-    the current layer's output plus the slotted cache variable that
-    supplies the rest of the map (exact everywhere: inside the window the
-    carried values, outside the cache — see ops/window.py chain docs)."""
-
-    def __init__(self, win, cache5, cache_id, org):
-        self.win = win          # [B, WH, WW, C]
-        self.cache5 = cache5    # [slots, B, H, W, C]
-        self.cache_id = cache_id
-        self.org = org          # [2] int32 canonical origin
-
-    def to_map(self):
-        return window_state_materialize(self.cache5, self.cache_id,
-                                        self.win, self.org)
 
 
 def _ensure_map(x):
@@ -114,34 +97,6 @@ class SDVAEConfig:
     #: last full-resolution dense compute from the sparse path.
     sige_tail: bool = True
     cache_slots: int = 1
-
-
-class _FoldedNormAffine(SIGEModule):
-    """GroupNorm using externally-owned (w, b) params whose equivalent
-    per-channel affine is cached per slot in full mode and replayed in
-    sparse mode (the decoder-tail variant of _FoldedGroupNorm — the
-    affine params stay where the checkpoint converters put them)."""
-
-    num_groups: int
-    cache_slots: int = 1
-
-    @nn.compact
-    def __call__(self, x, w, b, ctx: SIGECtx):
-        from ...nn.module import _slotted_cache
-
-        if ctx.mode == "dense":
-            xn, _, _ = group_norm_with_affine(x, self.num_groups, w, b,
-                                              eps=1e-6)
-            return xn, None, None
-        if ctx.mode == "full":
-            xn, sc, sh = group_norm_with_affine(x, self.num_groups, w, b,
-                                                eps=1e-6)
-            _slotted_cache(self, "scale", sc, self.cache_slots, ctx.cache_id)
-            _slotted_cache(self, "shift", sh, self.cache_slots, ctx.cache_id)
-            return xn, None, None
-        sc = _read_slot(self.get_variable("cache", "scale"), ctx.cache_id)
-        sh = _read_slot(self.get_variable("cache", "shift"), ctx.cache_id)
-        return None, sc, sh
 
 
 class SIGEVAEResnetBlock(SIGEModule):
@@ -280,14 +235,22 @@ class SIGEVAEResnetBlock(SIGEModule):
             xs = jax.lax.dynamic_slice(
                 x, (zero, org[0], org[1], zero),
                 (x.shape[0], WH, WW, x.shape[3]))
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        m = cov[None, :, :, None]
         if self.in_channels != self.out_channels:
             xs = self.nin_shortcut(xs, ctx)
             if self.shortcut_sparse:
+                # exact two-mask block-residual join (matches
+                # window_scatter_block_residual / the tile engine)
                 _, cov_s = self.shortcut_gather.read_wsc(res)
-                cov = cov | cov_s
-
-        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
-        out = jnp.where(cov[None, :, :, None], h + xs, y0w)
+                y1w = window_slot_window(
+                    self.join.get_variable("cache", "residual"),
+                    ctx.cache_id, org, (WH, WW))
+                s = cov_s[None, :, :, None]
+                out = (jnp.where(m, h + y1w, y0w)
+                       + jnp.where(s, xs - y1w, jnp.zeros((), h.dtype)))
+                return WindowState(out, cache5, ctx.cache_id, org)
+        out = jnp.where(m, h + xs, y0w)
         return WindowState(out, cache5, ctx.cache_id, org)
 
     def _chain_sparse(self, x, ctx: SIGECtx) -> "TileState":

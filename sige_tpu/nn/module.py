@@ -48,6 +48,7 @@ from ..ops.window import (
     window_scatter,
     window_scatter_block_residual,
     window_scatter_gather_slot,
+    window_state_materialize,
 )
 
 IntPair = Tuple[int, int]
@@ -98,6 +99,26 @@ def sow_macs(mod: nn.Module, n: int) -> None:
 
 class SIGEModule(nn.Module):
     """Marker base for engine layers (mode-aware)."""
+
+
+class WindowState:
+    """Carried state of a window-resident chain: the canonical window of
+    the current layer's output plus the slotted cache variable that
+    supplies the rest of the map. The pair is the exact full map (inside
+    the window the carried values, outside the cache — they agree on the
+    uncovered interior), so consumers rebuild any extraction window from
+    a window-sized cache slice plus one overlay and full maps only
+    materialize at chain breaks (see ops/window.py chain ops)."""
+
+    def __init__(self, win, cache5, cache_id, org):
+        self.win = win          # [B, WH, WW, C]
+        self.cache5 = cache5    # [slots, B, H, W, C]
+        self.cache_id = cache_id
+        self.org = org          # [2] int32 canonical origin
+
+    def to_map(self):
+        return window_state_materialize(self.cache5, self.cache_id,
+                                        self.win, self.org)
 
 
 class Gather(SIGEModule):

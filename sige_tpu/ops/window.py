@@ -57,6 +57,16 @@ def _epilogue(z, edge, scale, shift, activation, activation_first):
     return jnp.where(edge[None, :, :, None], z, jnp.zeros((), z.dtype))
 
 
+def window_epilogue(z, edge, scale=None, shift=None,
+                    activation: str = "identity",
+                    activation_first: bool = False):
+    """Public epilogue for callers that extend multiple windows and
+    concatenate before the fused norm (e.g. U-Net skip joins): applies
+    ``scale*x+shift`` + activation and re-zeroes the out-of-image ring,
+    exactly like the gather-fused epilogue."""
+    return _epilogue(z, edge, scale, shift, activation, activation_first)
+
+
 @partial(jax.jit, static_argnames=("activation", "activation_first"))
 def window_gather(
     x: jnp.ndarray,

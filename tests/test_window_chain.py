@@ -91,3 +91,49 @@ def test_encoder_chain_sparse_on_original_exact():
     model.set_masks(downsample_mask(_mask64(), min_res=4))
     sp = model.sparse(x)
     np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+
+DDPM_TINY = None  # built lazily to avoid import cost at collection
+
+
+def _ddpm(chain: bool):
+    from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+
+    cfg = DDPMUNetConfig(ch=32, ch_mult=(1, 2, 2), num_res_blocks=1,
+                         attn_resolutions=(8,), resolution=32,
+                         sparse_resolution_threshold=16,
+                         window_chain=chain)
+    model = SIGEModel(SIGEFusedUNet(cfg=cfg), layout="window", bucket_min=1)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    t = jnp.zeros((1,), jnp.float32)
+    model.init(jax.random.key(0), x, t)
+    return model, x, t
+
+
+def _mask32():
+    mask = np.zeros((32, 32), bool)
+    mask[10:18, 12:22] = True
+    return dilate_mask(mask, 2)
+
+
+@pytest.mark.parametrize("chain", [False, True])
+def test_ddpm_unet_chain_sparse_on_original_exact(chain):
+    """U-Net chains thread skip concatenations and upsamples; sparse on
+    the original input must reproduce the full pass."""
+    model, x, t = _ddpm(chain)
+    full = model.full(x, t)
+    model.set_masks(downsample_mask(_mask32(), min_res=8))
+    sp = model.sparse(x, t)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+
+def test_ddpm_unet_chain_matches_nonchain_on_edit():
+    outs = []
+    for chain in (False, True):
+        model, x, t = _ddpm(chain)
+        model.full(x, t)
+        model.set_masks(downsample_mask(_mask32(), min_res=8))
+        xe = x.at[:, 12:16, 14:20].add(0.5)
+        outs.append(np.asarray(model.sparse(xe, t)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
