@@ -34,10 +34,18 @@ from ...nn.module import (
     SIGEConv2d,
     SIGECtx,
     SIGEModule,
+    WindowState,
     sow_macs,
 )
 from ...nn.norm import group_norm_with_affine
-from ..ddpm.unet import _FoldedGroupNorm, _swish, timestep_embedding
+from ...ops.window import (
+    window_chain_extend,
+    window_chain_extend_up2,
+    window_gather,
+    window_slot_window,
+)
+from ..ddpm.unet import (_FoldedGroupNorm, _FoldedNormAffine, _swish,
+                         _to_map, timestep_embedding)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +67,12 @@ class PDUNetConfig:
     block_size_normal: Optional[int] = 6
     block_size_instance: Optional[int] = 4
     sparse_resolution_threshold: int = 64
+    #: window-layout chains (see ddpm unet) incl. across up-resblocks;
+    #: down-resblocks materialize (stride-2 chains need the
+    #: cascade-prone nesting direction).
+    window_chain: bool = True
+    #: fold norm_out + window conv_out (see ddpm unet sige_tail)
+    sige_tail: bool = True
     cache_slots: int = 1
 
 
@@ -128,6 +142,21 @@ class SIGEPDResnetBlock(SIGEModule):
         return x
 
     def __call__(self, x, temb, ctx: SIGECtx):
+        """``x`` may be a tuple (h, skip): the U-Net's skip join (see
+        ddpm unet — window chains extend each part separately)."""
+        chain_ok = (
+            ctx.mode == "sparse" and self.main_sparse
+            and self.cfg.window_chain and not ctx.sparse_update
+            and self.main_gather.planned_window()
+            and (self.resample is None
+                 or (self.resample == "up" and isinstance(x, WindowState)
+                     and self.main_gather.has_variable("sige", "wup_ok"))))
+        if chain_ok:
+            return self._chain_window(x, ctx)
+        if isinstance(x, tuple):
+            x = jnp.concatenate([_to_map(a) for a in x], axis=-1)
+        else:
+            x = _to_map(x)
         h, xs = x, self._resample(x)
         if self.in_channels != self.out_channels:
             if self.shortcut_sparse:
@@ -171,6 +200,83 @@ class SIGEPDResnetBlock(SIGEModule):
         if self.main_sparse:
             return self.join(h, ctx, residual=xs)
         return h + xs
+
+    # -- window-resident sparse path (see ddpm unet _chain_window) -------
+    def _chain_window(self, x, ctx: SIGECtx) -> "WindowState":
+        g = self.main_gather
+        meta = g.get_variable("sige", "win_in")
+        edge = g.get_variable("sige", "win_edge")
+        org = g.get_variable("sige", "win_org")
+        parts = x if isinstance(x, tuple) else (x,)
+        _, s1, b1 = self.norm1(None, ctx)
+
+        if self.resample == "up":
+            # norm1+swish happen BEFORE the nearest-2x resample; both are
+            # pointwise, so apply them to the carried window and double
+            # it — the planner's nesting makes the doubled window cover
+            # the whole extraction window (no cache ring needed)
+            st = parts[0]
+            w = _swish(st.win * s1[:, None, None, :] + b1[:, None, None, :])
+            win2 = jnp.repeat(jnp.repeat(w, 2, axis=1), 2, axis=2)
+            ext = window_chain_extend_up2(win2, st.org * 2, meta, edge)
+            xs2 = jnp.repeat(jnp.repeat(st.win, 2, axis=1), 2, axis=2)
+        else:
+            exts = []
+            for p in parts:
+                if isinstance(p, WindowState):
+                    exts.append(window_chain_extend(
+                        p.win, p.org, p.cache5, p.cache_id, meta, edge))
+                else:
+                    exts.append(window_gather(p, meta, edge))
+            ext = jnp.concatenate(exts, axis=-1)
+            from ...ops.window import window_epilogue
+
+            ext = window_epilogue(ext, edge, s1, b1, "swish")
+
+        h = self.conv1(ext, ctx)
+        _, s2, b2 = self.norm2(h, ctx)  # cached affine includes temb fold
+        h = self.sg(h, ctx, scale=s2, shift=b2)
+        h = self.conv2(h, ctx)
+
+        cache5 = self.join.get_variable("cache", "original")
+        res = cache5.shape[2:4]
+        _, cov = g.read_wsc(res)
+        WH, WW = cov.shape
+
+        zero = jnp.int32(0)
+        if self.resample == "up":
+            # shortcut = nearest-2x of the input: slice the doubled
+            # carried window at the output's canonical origin
+            st = parts[0]
+            xs = jax.lax.dynamic_slice(
+                xs2, (zero, org[0] - 2 * st.org[0], org[1] - 2 * st.org[1],
+                      zero), (xs2.shape[0], WH, WW, xs2.shape[3]))
+        else:
+            wins = []
+            for p in parts:
+                if isinstance(p, WindowState):
+                    wins.append(p.win)
+                else:
+                    wins.append(jax.lax.dynamic_slice(
+                        p, (zero, org[0], org[1], zero),
+                        (p.shape[0], WH, WW, p.shape[3])))
+            xs = jnp.concatenate(wins, axis=-1)
+
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        m = cov[None, :, :, None]
+        if self.in_channels != self.out_channels:
+            xs = self.nin_shortcut(xs, ctx)
+            if self.shortcut_sparse:
+                _, cov_s = self.shortcut_gather.read_wsc(res)
+                y1w = window_slot_window(
+                    self.join.get_variable("cache", "residual"),
+                    ctx.cache_id, org, (WH, WW))
+                s = cov_s[None, :, :, None]
+                out = (jnp.where(m, h + y1w, y0w)
+                       + jnp.where(s, xs - y1w, jnp.zeros((), h.dtype)))
+                return WindowState(out, cache5, ctx.cache_id, org)
+        out = jnp.where(m, h + xs, y0w)
+        return WindowState(out, cache5, ctx.cache_id, org)
 
 
 class SIGEPDAttnBlock(SIGEModule):
@@ -216,6 +322,7 @@ class SIGEPDAttnBlock(SIGEModule):
         return out.reshape(B, H, W, nh * hd)
 
     def __call__(self, x, ctx: SIGECtx):
+        x = _to_map(x)  # global attention needs the full map (chain break)
         if ctx.mode in ("dense", "full"):
             h = self.gather1(x, ctx) if self.sparse_ok else x
             h, _, _ = self.norm(h, ctx)
@@ -321,8 +428,39 @@ class SIGEPDUNet(SIGEModule):
             "norm_out_scale", nn.initializers.ones_init(), (block_in,))
         self.norm_out_bias = self.param(
             "norm_out_bias", nn.initializers.zeros_init(), (block_in,))
+        self._tail_sparse = (cfg.sige_tail
+                             and cfg.block_size_normal is not None)
         self.conv_out = SIGEConv2d(features=cfg.out_ch, kernel_size=3,
-                                   padding=1, tile_input=False)
+                                   padding=1, tile_input=self._tail_sparse)
+        if self._tail_sparse:
+            self.norm_out_fold = _FoldedNormAffine(
+                num_groups=cfg.num_groups, cache_slots=cfg.cache_slots)
+            self.out_gather = Gather(block_size=cfg.block_size_normal,
+                                     kernel_size=3, conv_stride=1,
+                                     conv_padding=1, activation="swish")
+            self.out_scatter = Scatter(gather=self.out_gather,
+                                       cache_slots=cfg.cache_slots)
+
+    def _tail(self, h, ctx: SIGECtx):
+        if ctx.mode == "full":
+            h = _to_map(h)
+            hn, _, _ = self.norm_out_fold(
+                h, self.norm_out_scale, self.norm_out_bias, ctx)
+            self.out_gather(h, ctx)  # records meta
+            out = self.conv_out(_swish(hn), ctx)
+            return self.out_scatter(out, ctx)
+        _, sc, sh = self.norm_out_fold(
+            None, self.norm_out_scale, self.norm_out_bias, ctx)
+        if isinstance(h, WindowState) and self.out_gather.planned_window():
+            ext = window_chain_extend(
+                h.win, h.org, h.cache5, h.cache_id,
+                self.out_gather.get_variable("sige", "win_in"),
+                self.out_gather.get_variable("sige", "win_edge"),
+                sc, sh, "swish")
+        else:
+            ext = self.out_gather(_to_map(h), ctx, scale=sc, shift=sh)
+        out = self.conv_out(ext, ctx)
+        return self.out_scatter(out, ctx)
 
     def _logsnr_input(self, logsnr):
         t = self.cfg.logsnr_input_type
@@ -363,13 +501,16 @@ class SIGEPDUNet(SIGEModule):
 
         for i in reversed(range(nres)):
             for ib in range(cfg.num_res_blocks + 1):
-                h = self.up_blocks[i][ib](
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, ctx)
+                # skip join as a tuple (window chains extend each part)
+                h = self.up_blocks[i][ib]((h, hs.pop()), temb, ctx)
                 if self.up_attns[i]:
                     h = self.up_attns[i][ib](h, ctx)
             if i != 0:
                 h = self.upsamples[i - 1](h, temb, ctx)
 
+        if self._tail_sparse and ctx.mode != "dense":
+            return self._tail(h, ctx)
+        h = _to_map(h)
         h, _, _ = group_norm_with_affine(
             h, cfg.num_groups, self.norm_out_scale, self.norm_out_bias, eps=1e-6)
         h = _swish(h)

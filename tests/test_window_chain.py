@@ -137,3 +137,40 @@ def test_ddpm_unet_chain_matches_nonchain_on_edit():
         xe = x.at[:, 12:16, 14:20].add(0.5)
         outs.append(np.asarray(model.sparse(xe, t)))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
+def _pd(chain: bool):
+    from sige_tpu.models.pd import PDUNetConfig, SIGEPDUNet
+
+    cfg = PDUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(8,), resolution=32,
+                       sparse_resolution_threshold=16,
+                       window_chain=chain)
+    model = SIGEModel(SIGEPDUNet(cfg=cfg), layout="window", bucket_min=1)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    t = jnp.zeros((1,), jnp.float32)
+    model.init(jax.random.key(0), x, t)
+    return model, x, t
+
+
+@pytest.mark.parametrize("chain", [False, True])
+def test_pd_unet_chain_sparse_on_original_exact(chain):
+    """PD chains cross the in-block up-resamples (pointwise norm+swish
+    commute with nearest-2x); sparse-on-original stays exact."""
+    model, x, t = _pd(chain)
+    full = model.full(x, t)
+    model.set_masks(downsample_mask(_mask32(), min_res=8))
+    sp = model.sparse(x, t)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+
+def test_pd_unet_chain_matches_nonchain_on_edit():
+    outs = []
+    for chain in (False, True):
+        model, x, t = _pd(chain)
+        model.full(x, t)
+        model.set_masks(downsample_mask(_mask32(), min_res=8))
+        xe = x.at[:, 12:16, 14:20].add(0.5)
+        outs.append(np.asarray(model.sparse(xe, t)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
