@@ -31,7 +31,8 @@ class SIGEModel:
     """
 
     def __init__(self, module, params: Optional[Mapping] = None,
-                 bucket_min: int = 8, layout: str = "tiles"):
+                 bucket_min: int = 8, layout: str = "tiles",
+                 chain_nesting: bool = True):
         self.module = module
         self.params = params
         self.cache: Dict = {}
@@ -43,6 +44,9 @@ class SIGEModel:
         #: edits) or "window" (one contiguous bucketed crop window per
         #: resolution — compact edits; see ops/window.py)
         self.layout = layout
+        #: False when the model runs no window chains (skips the
+        #: cross-resolution window containment growth; see planner)
+        self.chain_nesting = chain_nesting
         self.capacities: Dict = {}
 
         def full_apply(params, cache, cache_id, args, kwargs):
@@ -102,6 +106,7 @@ class SIGEModel:
         plan = build_plan(
             self._meta_host, masks, self.bucket_min,
             capacities or self.capacities, layout=self.layout,
+            chain_nesting=self.chain_nesting,
         )
         # one batched H2D for the whole plan (per-leaf transfers are ~50ms
         # each through a remote-dispatch tunnel)

@@ -100,7 +100,8 @@ def _collect_window_reses(meta: Mapping) -> set:
 
 def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
                             mult: int = 16,
-                            consumed: Optional[set] = None
+                            consumed: Optional[set] = None,
+                            nesting: bool = True
                             ) -> Dict[IntPair, Tuple]:
     """{res: (r0, c0, WH, WW)} — THE bucketed window every gather/scatter
     at a resolution shares (alignment keeps window-mode joins pure
@@ -144,7 +145,7 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
     # iterate on the FITTED extents (bucketing can widen a window past
     # its raw bounds, re-breaking a neighbour's containment); extents
     # only grow and are canvas-capped, so this terminates
-    for _ in range(8):
+    for _ in range(8 if nesting else 0):
         fitted = {res: fit(res) for res in reses}
         changed = False
         for res in reses:           # fine -> coarse: cover finer/2 + halo
@@ -174,6 +175,7 @@ def build_plan(
     bucket_min: int = 8,
     capacities: Optional[Dict[Tuple, int]] = None,
     layout: str = "tiles",
+    chain_nesting: bool = True,
     _path: Tuple = (),
     _memo: Optional[Dict] = None,
 ) -> Dict:
@@ -195,8 +197,13 @@ def build_plan(
     if _memo is None:
         _memo = {}
     if layout == "window" and "windows" not in _memo:
+        # chain_nesting=False: the model runs no window chains, so skip
+        # the cross-resolution containment growth — at architectures
+        # whose MACs concentrate in tiny high-channel levels (GauGAN's
+        # 16x32x1024 head) the grown coarse windows cost real compute
         _memo["windows"] = _plan_canonical_windows(
-            masks, consumed=_collect_window_reses(meta))
+            masks, consumed=_collect_window_reses(meta),
+            nesting=chain_nesting)
     plan: Dict = {}
     for name, node in meta.items():
         if _is_gather_record(node):
@@ -259,7 +266,7 @@ def build_plan(
             plan[name] = entry
         elif isinstance(node, Mapping):
             sub = build_plan(node, masks, bucket_min, capacities, layout,
-                             _path + (name,), _memo)
+                             chain_nesting, _path + (name,), _memo)
             if sub:
                 plan[name] = sub
     return plan

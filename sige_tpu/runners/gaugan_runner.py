@@ -50,8 +50,11 @@ class GauGANRunner:
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = module or SIGEFusedSPADEGenerator(cfg=model_cfg)
+        # chain_nesting=False: the SPADE generators run no window chains,
+        # and the containment growth would balloon the tiny
+        # high-channel head levels (16x32x1024)
         self.model = SIGEModel(self.module, params, bucket_min=bucket_min,
-                               layout=layout)
+                               layout=layout, chain_nesting=False)
         if params is None:
             h = round(model_cfg.crop_size / model_cfg.aspect_ratio)
             dummy = jnp.zeros((1, h, model_cfg.crop_size, model_cfg.semantic_nc),
