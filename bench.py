@@ -242,18 +242,34 @@ def main():
     enable_compilation_cache()
     import jax
 
+    def reclaim():
+        # each family measures in isolation: dropping the previous
+        # family's compiled programs and HBM-resident buffers avoids
+        # cross-family interference (ddpm measured 2.4 ms standalone vs
+        # 3.7 ms after the SD model's ~5GB stayed resident)
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
     sd = bench_sd_unet(args.iters, args.dtype)
     detail = {"sd_unet_512": sd, "device": str(jax.devices()[0])}
     fams = {f for f in args.families.split(",") if f}
     if "ddpm" in fams:
+        reclaim()
         detail["ddpm_church256"] = bench_ddpm(args.iters)
     if "decoder" in fams:
+        reclaim()
         detail["sd_vae_decoder_512"] = bench_vae_decoder(args.iters, args.dtype)
     if "encoder" in fams:
+        reclaim()
         detail["sd_vae_encoder_512"] = bench_vae_encoder(args.iters, args.dtype)
     if "gaugan" in fams:
+        reclaim()
         detail["gaugan_512x256"] = bench_gaugan(args.iters)
     if "pd" in fams:
+        reclaim()
         detail["pd_church256"] = bench_pd(args.iters)
 
     speedup = sd["dense_ms"] / sd["sparse_ms"]
