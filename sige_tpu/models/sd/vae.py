@@ -445,8 +445,19 @@ class SIGEEncoder(SIGEModule):
     def setup(self):
         cfg = self.cfg
         nres = len(cfg.ch_mult)
+        self._head_sparse = (cfg.sige_tail
+                             and cfg.main_block_size is not None)
         self.conv_in = SIGEConv2d(features=cfg.ch, kernel_size=3, padding=1,
-                                  tile_input=False)
+                                  tile_input=self._head_sparse)
+        if self._head_sparse:
+            # param-free SIGE pair for the stem: the reference runs
+            # conv_in dense at full image resolution even in sparse mode
+            # (sige_model.py:232); here it windows like everything else
+            self.in_gather = Gather(block_size=cfg.main_block_size,
+                                    kernel_size=3, conv_stride=1,
+                                    conv_padding=1)
+            self.in_scatter = Scatter(gather=self.in_gather,
+                                      cache_slots=cfg.cache_slots)
         in_mult = (1,) + tuple(cfg.ch_mult)
         blocks, attns, downs = [], [], []
         curr_res = cfg.resolution
@@ -484,7 +495,16 @@ class SIGEEncoder(SIGEModule):
 
     def __call__(self, x, ctx: SIGECtx):
         cfg = self.cfg
-        h = self.conv_in(x, ctx)
+        if self._head_sparse and ctx.mode == "sparse":
+            hin = self.in_gather(x, ctx)
+            hwin = self.conv_in(hin, ctx)
+            h = self.in_scatter(hwin, ctx)
+        elif self._head_sparse and ctx.mode == "full":
+            self.in_gather(x, ctx)  # records meta
+            h = self.conv_in(x, ctx)
+            h = self.in_scatter(h, ctx)
+        else:
+            h = self.conv_in(x, ctx)
         for i in range(len(cfg.ch_mult)):
             for ib in range(cfg.num_res_blocks):
                 h = self.down_blocks[i][ib](h, ctx)
