@@ -359,8 +359,19 @@ class SIGEPDUNet(SIGEModule):
         nres = len(cfg.ch_mult)
         self.temb_dense0 = nn.Dense(cfg.temb_ch)
         self.temb_dense1 = nn.Dense(cfg.temb_ch)
+        self._head_sparse = (cfg.sige_tail
+                             and cfg.block_size_normal is not None
+                             and cfg.resolution
+                             >= cfg.sparse_resolution_threshold)
         self.conv_in = SIGEConv2d(features=cfg.ch, kernel_size=3, padding=1,
-                                  tile_input=False)
+                                  tile_input=self._head_sparse)
+        if self._head_sparse:
+            # param-free SIGE pair for the stem (see ddpm unet)
+            self.in_gather = Gather(block_size=cfg.block_size_normal,
+                                    kernel_size=3, conv_stride=1,
+                                    conv_padding=1)
+            self.in_scatter = Scatter(gather=self.in_gather,
+                                      cache_slots=cfg.cache_slots)
 
         in_mult = (1,) + tuple(cfg.ch_mult)
         down_blocks, down_attns, downsamples = [], [], []
@@ -484,7 +495,14 @@ class SIGEPDUNet(SIGEModule):
         else:
             temb = None
 
-        hs = [self.conv_in(x, ctx)]
+        if self._head_sparse and ctx.mode == "sparse":
+            hs = [self.in_scatter(self.conv_in(self.in_gather(x, ctx), ctx),
+                                  ctx)]
+        elif self._head_sparse and ctx.mode == "full":
+            self.in_gather(x, ctx)  # records meta
+            hs = [self.in_scatter(self.conv_in(x, ctx), ctx)]
+        else:
+            hs = [self.conv_in(x, ctx)]
         for i in range(nres):
             for ib in range(cfg.num_res_blocks):
                 h = self.down_blocks[i][ib](hs[-1], temb, ctx)
