@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .module import SIGECtx
-from .planner import build_plan, plan_stats
+from .planner import build_plan, choose_layout, plan_stats
 
 
 class SIGEModel:
@@ -41,9 +41,11 @@ class SIGEModel:
         self.plan: Dict = {}
         self.bucket_min = bucket_min
         #: "tiles" (fixed-capacity tile buffers — scattered multi-region
-        #: edits) or "window" (one contiguous bucketed crop window per
-        #: resolution — compact edits; see ops/window.py)
+        #: edits), "window" (one contiguous bucketed crop window per
+        #: resolution — compact edits; see ops/window.py), or "auto"
+        #: (pick per edit from the mask's bbox-vs-coverage ratio)
         self.layout = layout
+        self.active_layout = layout
         #: False when the model runs no window chains (skips the
         #: cross-resolution window containment growth; see planner)
         self.chain_nesting = chain_nesting
@@ -103,9 +105,13 @@ class SIGEModel:
             raise RuntimeError("run a full() pass before set_masks()")
         if self._meta_host is None:  # one batched D2H; meta is static
             self._meta_host = jax.device_get(self.meta)
+        layout = self.layout
+        if layout == "auto":
+            layout = choose_layout(masks)
+        self.active_layout = layout
         plan = build_plan(
             self._meta_host, masks, self.bucket_min,
-            capacities or self.capacities, layout=self.layout,
+            capacities or self.capacities, layout=layout,
             chain_nesting=self.chain_nesting,
         )
         # one batched H2D for the whole plan (per-leaf transfers are ~50ms

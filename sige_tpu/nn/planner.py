@@ -332,6 +332,29 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
         entry[f"wsg_cov_{gres[0]}x{gres[1]}"] = cov
 
 
+def choose_layout(masks: Mapping[IntPair, np.ndarray],
+                  threshold: float = 3.0) -> str:
+    """Pick the execution layout for one edit: "window" for a compact
+    region, "tiles" when the edit is scattered.
+
+    At the finest mask resolution, compare the mask's bounding-box area
+    with the actually-covered area: the canonical window recomputes the
+    whole bbox, so a bbox more than ``threshold``x the covered area
+    (e.g. two small edits in opposite corners) would mostly recompute
+    unedited pixels — the fixed-capacity tile buffers handle that shape
+    of sparsity better. Used by ``SIGEModel(layout="auto")``; switching
+    layouts compiles a second sparse program (both cached thereafter)."""
+    res = max(masks.keys(), key=lambda r: r[0] * r[1])
+    m = np.asarray(masks[res], bool)
+    covered = int(m.sum())
+    if covered == 0:
+        return "window"
+    rows = np.flatnonzero(m.any(axis=1))
+    cols = np.flatnonzero(m.any(axis=0))
+    bbox = int(rows[-1] + 1 - rows[0]) * int(cols[-1] + 1 - cols[0])
+    return "window" if bbox <= threshold * covered else "tiles"
+
+
 def plan_stats(meta: Mapping, plan: Mapping, _path: Tuple = ()) -> Dict[str, Dict]:
     """Per-gather sparsity statistics for logging/profiling: live tiles,
     buffer capacity, and input resolution (the reference prints block

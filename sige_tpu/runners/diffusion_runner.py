@@ -71,7 +71,7 @@ class DiffusionRunner:
     def __init__(self, model_cfg: DDPMUNetConfig = DDPMUNetConfig(),
                  run_cfg: DiffusionRunConfig = DiffusionRunConfig(),
                  params=None, seed: int = 0, bucket_min: int = 8,
-                 layout: str = "window"):
+                 layout: str = "auto"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = SIGEFusedUNet(cfg=model_cfg)

@@ -46,7 +46,7 @@ class GauGANRunner:
     def __init__(self, model_cfg: SPADEGenConfig = SPADEGenConfig(),
                  run_cfg: GauGANRunConfig = GauGANRunConfig(),
                  params=None, seed: int = 0, bucket_min: int = 8,
-                 module=None, layout: str = "window"):
+                 module=None, layout: str = "auto"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = module or SIGEFusedSPADEGenerator(cfg=model_cfg)

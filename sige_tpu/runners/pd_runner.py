@@ -42,7 +42,7 @@ class PDRunner:
     def __init__(self, model_cfg: PDUNetConfig = PDUNetConfig(),
                  run_cfg: PDRunConfig = PDRunConfig(),
                  params=None, seed: int = 0, bucket_min: int = 8,
-                 layout: str = "window"):
+                 layout: str = "auto"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = SIGEPDUNet(cfg=model_cfg)

@@ -188,3 +188,34 @@ def test_window_pd_sparse_on_original_exact():
     y_sparse = model.sparse(x0, logsnr)
     np.testing.assert_allclose(np.asarray(y_sparse), np.asarray(y_full),
                                atol=1e-4)
+
+
+def test_auto_layout_picks_per_edit():
+    """layout="auto": a compact edit runs the window layout, a
+    scattered two-corner edit falls back to tiles — both stay exact."""
+    from sige_tpu.nn.planner import choose_layout
+
+    model = SIGEModel(SIGEFusedUNet(cfg=DDPM_TINY), layout="auto",
+                      bucket_min=1)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    t = jnp.zeros((1,), jnp.float32)
+    model.init(jax.random.key(0), x, t)
+    full = model.full(x, t)
+
+    compact = np.zeros((32, 32), bool)
+    compact[10:18, 12:20] = True
+    model.set_masks(downsample_mask(dilate_mask(compact, 2), min_res=8))
+    assert model.active_layout == "window"
+    np.testing.assert_allclose(np.asarray(model.sparse(x, t)),
+                               np.asarray(full), atol=2e-4)
+
+    scattered = np.zeros((32, 32), bool)
+    scattered[2:6, 2:6] = True
+    scattered[26:30, 26:30] = True
+    masks = downsample_mask(dilate_mask(scattered, 1), min_res=8)
+    assert choose_layout(masks) == "tiles"
+    model.set_masks(masks)
+    assert model.active_layout == "tiles"
+    np.testing.assert_allclose(np.asarray(model.sparse(x, t)),
+                               np.asarray(full), atol=2e-4)
