@@ -174,3 +174,39 @@ def test_pd_unet_chain_matches_nonchain_on_edit():
         xe = x.at[:, 12:16, 14:20].add(0.5)
         outs.append(np.asarray(model.sparse(xe, t)))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
+def test_chain_with_cache_slots_traced_id():
+    """Chains read slotted caches with a TRACED cache_id (the demo's
+    per-step slot pattern): each slot replays its own step's caches."""
+    import dataclasses as dc
+
+    from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+    from sige_tpu.nn.module import SIGECtx
+
+    cfg = DDPMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=(8,), resolution=32,
+                         sparse_resolution_threshold=16, cache_slots=2)
+    model = SIGEModel(SIGEFusedUNet(cfg=cfg), layout="window", bucket_min=1)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    t0 = jnp.zeros((1,), jnp.float32)
+    t1 = jnp.full((1,), 100.0, jnp.float32)
+    model.init(jax.random.key(0), x, t0)
+    full0 = model.full(x, t0, cache_id=0)
+    full1 = model.full(x, t1, cache_id=1)
+    model.set_masks(downsample_mask(_mask32(), min_res=8))
+
+    def sparse_at(slot):
+        return model.module.apply(
+            {"params": model.params, "cache": model.cache,
+             "sige": model.plan},
+            x, t0 if slot == 0 else t1,
+            ctx=SIGECtx(mode="sparse", cache_id=jnp.int32(slot)))
+
+    np.testing.assert_allclose(np.asarray(sparse_at(0)), np.asarray(full0),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sparse_at(1)), np.asarray(full1),
+                               atol=2e-4)
+    # the two slots hold different trajectories
+    assert np.abs(np.asarray(full0) - np.asarray(full1)).max() > 1e-3
