@@ -204,6 +204,7 @@ def build_plan(
         _memo["windows"] = _plan_canonical_windows(
             masks, consumed=_collect_window_reses(meta),
             nesting=chain_nesting)
+        _memo["chain_nesting"] = chain_nesting
     plan: Dict = {}
     for name, node in meta.items():
         if _is_gather_record(node):
@@ -309,10 +310,13 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
 
     # chain-across-upsample marker: the nesting constraint above makes
     # the DOUBLED carried window at in_res//2 cover this extraction
-    # window, so the chain step is a pure slice (window_chain_extend_up2)
+    # window, so the chain step is a pure slice (window_chain_extend_up2).
+    # NEVER emitted without nesting — the slice would silently clamp and
+    # misalign if the carried window did not cover the extraction window.
     half = (in_res[0] // 2, in_res[1] // 2)
-    if (sh, sw) == (1, 1) and half in _memo["windows"] \
-            and in_res[0] % 2 == 0 and in_res[1] % 2 == 0:
+    if (_memo.get("chain_nesting", True)
+            and (sh, sw) == (1, 1) and half in _memo["windows"]
+            and in_res[0] % 2 == 0 and in_res[1] % 2 == 0):
         entry["wup_ok"] = np.int32(1)
 
     skey = ("srcmap", in_res, geom, None, ores, "w")

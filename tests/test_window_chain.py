@@ -210,3 +210,28 @@ def test_chain_with_cache_slots_traced_id():
                                atol=2e-4)
     # the two slots hold different trajectories
     assert np.abs(np.asarray(full0) - np.asarray(full1)).max() > 1e-3
+
+
+def test_chain_without_nesting_stays_exact():
+    """A chaining model built with chain_nesting=False must fall back to
+    materializing at upsamples (no wup_ok marker) instead of silently
+    clamping the carried-window slice."""
+    from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+
+    cfg = DDPMUNetConfig(ch=32, ch_mult=(1, 2, 2), num_res_blocks=1,
+                         attn_resolutions=(8,), resolution=32,
+                         sparse_resolution_threshold=16)
+    model = SIGEModel(SIGEFusedUNet(cfg=cfg), layout="window",
+                      bucket_min=1, chain_nesting=False)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    t = jnp.zeros((1,), jnp.float32)
+    model.init(jax.random.key(0), x, t)
+    full = model.full(x, t)
+    model.set_masks(downsample_mask(_mask32(), min_res=8))
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(model.plan)
+    assert not any(k[-1] == "wup_ok" for k in flat), "wup_ok without nesting"
+    sp = model.sparse(x, t)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
