@@ -12,14 +12,16 @@ from .module import (
     SIGEConv2d,
     SIGECtx,
     SIGEModule,
+    WindowState,
 )
 from .norm import batch_norm_affine, group_norm_with_affine, instance_norm_with_affine
-from .planner import build_plan, plan_stats
+from .planner import build_plan, choose_layout, plan_stats
 
 __all__ = [
     "SIGEModel",
     "SIGECtx",
     "SIGEModule",
+    "WindowState",
     "FULL",
     "SPARSE",
     "Gather",
@@ -28,6 +30,7 @@ __all__ = [
     "ScatterWithBlockResidual",
     "SIGEConv2d",
     "build_plan",
+    "choose_layout",
     "plan_stats",
     "group_norm_with_affine",
     "instance_norm_with_affine",
