@@ -62,8 +62,13 @@ def compute_difference_mask(a, b, eps: float = 2e-2) -> np.ndarray:
 
 
 def dilate_mask(mask, dilation: Union[int, IntPair]) -> np.ndarray:
-    """Binary dilation by a (2*dh+1) x (2*dw+1) box via shift-OR
-    (reference: sige/utils.py:40-71). Uses the native planner when built."""
+    """Cross-shaped binary dilation via shift-OR: the union of the mask's
+    vertical shifts (up to ``dh``) and horizontal shifts (up to ``dw``),
+    both taken from the ORIGINAL mask — NOT a separable box dilation. This
+    matches the reference exactly (reference: sige/utils.py:40-71, where
+    the second axis loop reads ``mask``, not ``ret``; verified against the
+    built reference in tests/test_reference_parity.py). Uses the native
+    planner when built."""
     dh, dw = _pair(dilation)
     mask = _as_numpy(mask).astype(bool)
     if dh <= 0 and dw <= 0:
@@ -76,7 +81,6 @@ def dilate_mask(mask, dilation: Union[int, IntPair]) -> np.ndarray:
     for i in range(1, dh + 1):
         out[:-i] |= mask[i:]
         out[i:] |= mask[:-i]
-    mask = out.copy()
     for i in range(1, dw + 1):
         out[:, :-i] |= mask[:, i:]
         out[:, i:] |= mask[:, :-i]

@@ -30,20 +30,15 @@ void dilate_mask(const uint8_t* mask, uint8_t* out, int64_t H, int64_t W,
             for (int64_t j = 0; j < W; ++j)
                 out[i * W + j] |= mask[(i - d) * W + j];
     }
-    // horizontal passes read the vertically dilated result
-    if (dw > 0) {
-        // temp copy of the vertical result
-        uint8_t* tmp = new uint8_t[H * W];
-        std::memcpy(tmp, out, H * W);
-        for (int64_t d = 1; d <= dw; ++d) {
-            for (int64_t i = 0; i < H; ++i) {
-                for (int64_t j = 0; j < W - d; ++j)
-                    out[i * W + j] |= tmp[i * W + j + d];
-                for (int64_t j = d; j < W; ++j)
-                    out[i * W + j] |= tmp[i * W + j - d];
-            }
+    // horizontal passes read the ORIGINAL mask (cross-shaped dilation,
+    // exactly the reference's semantics: sige/utils.py:40-71)
+    for (int64_t d = 1; d <= dw; ++d) {
+        for (int64_t i = 0; i < H; ++i) {
+            for (int64_t j = 0; j < W - d; ++j)
+                out[i * W + j] |= mask[i * W + j + d];
+            for (int64_t j = d; j < W; ++j)
+                out[i * W + j] |= mask[i * W + j - d];
         }
-        delete[] tmp;
     }
 }
 

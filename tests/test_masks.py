@@ -69,9 +69,15 @@ def test_dilate_mask_matches_shift_or():
     rng = np.random.default_rng(0)
     mask = rng.random((16, 16)) < 0.1
     got = dilate_mask(mask, 2)
-    # oracle: box dilation via torch max_pool
-    m = torch.from_numpy(mask.astype(np.float32)).view(1, 1, 16, 16)
-    want = F.max_pool2d(m, 5, 1, padding=2)[0, 0].numpy() > 0.5
+    # oracle: the reference's cross-shaped dilation (union of vertical and
+    # horizontal shifts of the ORIGINAL mask; reference: sige/utils.py:40-71,
+    # cross-validated against the built extension in test_reference_parity.py)
+    want = mask.copy()
+    for i in range(1, 3):
+        want[:-i] |= mask[i:]
+        want[i:] |= mask[:-i]
+        want[:, :-i] |= mask[:, i:]
+        want[:, i:] |= mask[:, :-i]
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(dilate_mask(mask, 0), mask)
 
