@@ -46,20 +46,7 @@ from sige_tpu.ops.scatter import (
     scatter_with_block_residual,
 )
 
-REF_ROOT = "/root/reference"
-BUILD_DIR = os.path.abspath(
-    os.path.join(os.path.dirname(__file__), os.pardir, ".ref_build")
-)
-_CPU_SOURCES = [
-    os.path.join(REF_ROOT, "sige", "cpu", f)
-    for f in [
-        "gather.cpp",
-        "scatter.cpp",
-        "scatter_gather.cpp",
-        "common_cpu.cpp",
-        "pybind_cpu.cpp",
-    ]
-]
+from ref_oracle import REF_ROOT, install_reference, load_ref_cpu
 
 
 @pytest.fixture(scope="session")
@@ -68,35 +55,15 @@ def ref_cpu():
     if not os.path.isdir(os.path.join(REF_ROOT, "sige", "cpu")):
         pytest.skip("reference tree not present")
     try:
-        from torch.utils.cpp_extension import load
-
-        os.makedirs(BUILD_DIR, exist_ok=True)
-        mod = load(
-            name="sige_ref_cpu",
-            sources=_CPU_SOURCES,
-            build_directory=BUILD_DIR,
-            extra_cflags=["-O2", "-fopenmp"],
-            extra_ldflags=["-fopenmp"],
-            verbose=False,
-        )
+        return load_ref_cpu()
     except Exception as e:  # pragma: no cover - environment dependent
         pytest.skip(f"reference CPU extension unavailable: {e}")
-    return mod
 
 
 @pytest.fixture(scope="session")
 def sige_ref(ref_cpu):
     """The reference Python package with its cpu backend registered."""
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    import sige  # noqa: F401
-
-    # SIGEModule.load_runtime importlib.import_module("sige.cpu"); register
-    # the freshly built extension under that name (reference:
-    # sige/nn/base.py:35-50).
-    sys.modules["sige.cpu"] = ref_cpu
-    sige.cpu = ref_cpu
-    return sige
+    return install_reference()
 
 
 # ---------------------------------------------------------------------------
