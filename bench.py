@@ -99,7 +99,8 @@ def bench_vae_decoder(iters, dtype="bfloat16"):
     from sige_tpu.nn.module import SIGECtx
 
     dt = jnp.dtype(dtype)
-    dec = SIGEModel(SIGEDecoder(cfg=SDVAEConfig(resolution=512)),
+    dec = SIGEModel(SIGEDecoder(cfg=SDVAEConfig(resolution=512,
+                                                sige_tail=True)),
                     layout="window")
     rng = np.random.default_rng(0)
     z = jnp.asarray(rng.standard_normal((1, 64, 64, 4)).astype(np.float32))
@@ -135,7 +136,8 @@ def bench_vae_encoder(iters, dtype="bfloat16"):
     from sige_tpu.nn.module import SIGECtx
 
     dt = jnp.dtype(dtype)
-    enc = SIGEModel(SIGEEncoder(cfg=SDVAEConfig(resolution=512)),
+    enc = SIGEModel(SIGEEncoder(cfg=SDVAEConfig(resolution=512,
+                                                sige_tail=True)),
                     layout="window")
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((1, 512, 512, 3)).astype(np.float32))
@@ -183,9 +185,10 @@ def bench_gaugan(iters):
 
 def bench_pd(iters):
     """PD church256 at a ~1.2% edit (fp32)."""
+    from sige_tpu.models.pd import PDUNetConfig
     from sige_tpu.runners import PDRunner
 
-    runner = PDRunner()
+    runner = PDRunner(PDUNetConfig(sige_tail=True))
     rng = np.random.default_rng(0)
     original = rng.random((256, 256, 3)).astype(np.float32)
     edited = original.copy()
@@ -208,7 +211,10 @@ def bench_ddpm(iters):
     from sige_tpu.nn.module import SIGECtx
     from sige_tpu.runners import DiffusionRunConfig, DiffusionRunner
 
-    runner = DiffusionRunner(DDPMUNetConfig(), DiffusionRunConfig(), seed=0)
+    # sige_tail=True: the TPU-speed tail fold (library default is the
+    # reference-parity live tail; the bench measures the optimized config)
+    runner = DiffusionRunner(DDPMUNetConfig(sige_tail=True),
+                             DiffusionRunConfig(), seed=0)
     rng = np.random.default_rng(0)
     original = rng.random((256, 256, 3)).astype(np.float32)
     edited = original.copy()

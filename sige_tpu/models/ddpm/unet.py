@@ -52,6 +52,7 @@ from ...nn.module import (
     SIGEModule,
     WindowState,
     _slotted_cache,
+    sow_dense_macs,
     sow_macs,
 )
 from ...nn.norm import group_norm_with_affine
@@ -96,7 +97,7 @@ class DDPMUNetConfig:
     #: with live statistics (sige_fused_unet.py:431-433); freezing the
     #: original image's statistics matches its norm-fold semantics
     #: everywhere else and removes the last full-res dense compute.
-    sige_tail: bool = True
+    sige_tail: bool = False
     cache_slots: int = 1
 
     @property
@@ -599,6 +600,7 @@ class SIGEFusedUNet(SIGEModule):
         self.up_attns = up_attns
         self.upsamples = upsamples
         self._temb_slices = temb_slices + up_slices
+        self.temb_proj_dim = temb_dim
         # Fused per-block temb projection (reference: fused_unet.py:244-260).
         self.temb_proj = nn.Dense(temb_dim)
 
@@ -650,10 +652,13 @@ class SIGEFusedUNet(SIGEModule):
 
         if ctx.mode in ("dense", "full"):
             temb = timestep_embedding(t, cfg.ch)
+            sow_dense_macs(self, temb, self.cfg.temb_ch)
             temb = self.temb_dense0(temb)
             temb = _swish(temb)
+            sow_dense_macs(self, temb, self.cfg.temb_ch)
             temb = self.temb_dense1(temb)
             temb = _swish(temb)
+            sow_dense_macs(self, temb, self.temb_proj_dim)
             temb = self.temb_proj(temb)
         else:
             temb = None

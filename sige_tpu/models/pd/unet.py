@@ -35,6 +35,7 @@ from ...nn.module import (
     SIGECtx,
     SIGEModule,
     WindowState,
+    sow_dense_macs,
     sow_macs,
 )
 from ...nn.norm import group_norm_with_affine
@@ -72,7 +73,7 @@ class PDUNetConfig:
     #: cascade-prone nesting direction).
     window_chain: bool = True
     #: fold norm_out + window conv_out (see ddpm unet sige_tail)
-    sige_tail: bool = True
+    sige_tail: bool = False
     cache_slots: int = 1
 
 
@@ -165,6 +166,7 @@ class SIGEPDResnetBlock(SIGEModule):
 
         if ctx.mode in ("dense", "full"):
             emb = self.temb_proj(_swish(temb))
+            sow_dense_macs(self, temb, 2 * self.out_channels)
             emb_scale, emb_shift = jnp.split(emb, 2, axis=-1)  # [B, cout] each
             h, _, _ = self.norm1(h, ctx)
             h = _swish(h)
@@ -489,8 +491,10 @@ class SIGEPDUNet(SIGEModule):
         nres = len(cfg.ch_mult)
         if ctx.mode in ("dense", "full"):
             temb = timestep_embedding(self._logsnr_input(logsnr) * 1000.0, cfg.ch)
+            sow_dense_macs(self, temb, self.cfg.temb_ch)
             temb = self.temb_dense0(temb)
             temb = _swish(temb)
+            sow_dense_macs(self, temb, self.cfg.temb_ch)
             temb = self.temb_dense1(temb)
         else:
             temb = None

@@ -36,6 +36,7 @@ from ...nn.module import (
     SIGECtx,
     SIGEModule,
     _slotted_cache,
+    sow_dense_macs,
     sow_macs,
 )
 from ..ddpm.unet import _FoldedGroupNorm, _swish
@@ -88,6 +89,13 @@ class SIGESDResBlock(SIGEModule):
     channels: int
     out_channels: int
     support_sparse: bool = True
+    #: run dense with LIVE statistics in sparse mode. The reference's
+    #: middle-block resblocks are plain torch ResBlocks — in sparse mode
+    #: they recompute GroupNorm stats on the scatter-updated map and add
+    #: live temb (reference: sige_openaimodel.py:370-396), unlike the
+    #: sub-threshold SIGE blocks which replay folded affines. Verified
+    #: against the built reference in tests/test_reference_model_parity.py.
+    live_dense: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -127,13 +135,16 @@ class SIGESDResBlock(SIGEModule):
                                 cache_slots=cfg.cache_slots)
 
     def __call__(self, x, emb, ctx: SIGECtx):
+        live = self.live_dense and ctx.mode == "sparse"
+        dctx = dataclasses.replace(ctx, mode="dense") if live else ctx
         h, xs = x, x
         if self.channels != self.out_channels:
             if self.shortcut_sparse:
-                xs = self.shortcut_gather(xs, ctx)
-            xs = self.skip(xs, ctx)
+                xs = self.shortcut_gather(xs, dctx)
+            xs = self.skip(xs, dctx)
 
-        if ctx.mode in ("dense", "full"):
+        if ctx.mode in ("dense", "full") or live:
+            ctx = dctx
             if self.main_sparse:
                 h = self.main_gather(h, ctx)
             h, _, _ = self.norm1(h, ctx)
@@ -142,6 +153,7 @@ class SIGESDResBlock(SIGEModule):
             if self.main_sparse:
                 h = self.sg(h, ctx)
             emb_out = self.emb_proj(_swish(emb))  # [B, cout]
+            sow_dense_macs(self, emb, self.out_channels)
             h = h + emb_out[:, None, None, :]
             h, _, _ = self.norm2(h, ctx, pre_shift=emb_out)
             h = _swish(h)
@@ -184,9 +196,12 @@ class SIGECrossAttention(SIGEModule):
         to_out = nn.Dense(self.query_dim, name="to_out")
 
         q = to_q(x)
+        sow_dense_macs(self, x, inner)
         src = x if context is None else context
         if ctx.mode in ("dense", "full"):
             k, v = to_k(src), to_v(src)
+            sow_dense_macs(self, src, inner)
+            sow_dense_macs(self, src, inner)
             if ctx.mode == "full":
                 _slotted_cache(self, "k", k, self.cache_slots, ctx.cache_id)
                 _slotted_cache(self, "v", v, self.cache_slots, ctx.cache_id)
@@ -205,6 +220,7 @@ class SIGECrossAttention(SIGEModule):
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
         sow_macs(self, 2 * B * N * M * nh * hd)
+        sow_dense_macs(self, out, self.query_dim)
         return to_out(out)
 
 
@@ -223,6 +239,9 @@ class _SelfAttention(nn.Module):
         src = x if context is None else context
         k = nn.Dense(inner, use_bias=False, name="to_k")(src)
         v = nn.Dense(inner, use_bias=False, name="to_v")(src)
+        sow_dense_macs(self, x, inner)
+        sow_dense_macs(self, src, inner)
+        sow_dense_macs(self, src, inner)
         B, N, _ = q.shape
         M = k.shape[1]
         nh, hd = self.heads, self.dim_head
@@ -232,6 +251,8 @@ class _SelfAttention(nn.Module):
         sim = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
+        sow_macs(self, 2 * B * N * M * nh * hd)
+        sow_dense_macs(self, out, self.query_dim)
         return nn.Dense(self.query_dim, name="to_out")(out)
 
 
@@ -246,7 +267,9 @@ class _GEGLUFeedForward(nn.Module):
     def __call__(self, x):
         inner = self.dim * self.mult
         proj = nn.Dense(inner * 2, name="proj")(x)
+        sow_dense_macs(self, x, inner * 2)
         a, g = jnp.split(proj, 2, axis=-1)
+        sow_dense_macs(self, a, self.dim)
         return nn.Dense(self.dim, name="out")(a * jax.nn.gelu(g))
 
 
@@ -464,13 +487,15 @@ class SIGESDUNet(SIGEModule):
         self._input_chans = input_chans
 
         self.mid_block1 = SIGESDResBlock(
-            cfg=cfg, channels=ch, out_channels=ch, support_sparse=False)
+            cfg=cfg, channels=ch, out_channels=ch, support_sparse=False,
+            live_dense=True)
         self.mid_attn = SIGESpatialTransformer(
             cfg=cfg, channels=ch, n_heads=cfg.num_heads,
             d_head=ch // cfg.num_heads, depth=cfg.transformer_depth,
             support_sparse=False)
         self.mid_block2 = SIGESDResBlock(
-            cfg=cfg, channels=ch, out_channels=ch, support_sparse=False)
+            cfg=cfg, channels=ch, out_channels=ch, support_sparse=False,
+            live_dense=True)
 
         out_blocks, out_kinds = [], []
         chans = list(input_chans)
@@ -504,13 +529,16 @@ class SIGESDUNet(SIGEModule):
 
     def __call__(self, x, t, context, ctx: SIGECtx):
         cfg = self.cfg
-        if ctx.mode in ("dense", "full"):
-            emb = sd_timestep_embedding(t, cfg.model_channels)
-            emb = self.time_dense0(emb)
-            emb = _swish(emb)
-            emb = self.time_dense1(emb)
-        else:
-            emb = None
+        # emb is needed in every mode: the live_dense middle resblocks add
+        # live temb in sparse mode too (the reference's UNetModel.forward
+        # always computes it; reference: openaimodel.py:715-730)
+        emb = sd_timestep_embedding(t, cfg.model_channels)
+        sow_dense_macs(self, emb, 4 * cfg.model_channels)
+        emb = self.time_dense0(emb)
+        sow_dense_macs(self, emb, 4 * cfg.model_channels)
+        emb = _swish(emb)
+        emb = self.time_dense1(emb)
+        emb = emb.astype(x.dtype)  # keep bf16 graphs bf16 (t is fp32)
 
         hs = [self.conv_in(x, ctx)]
         for mods, kinds in zip(self.in_blocks, self.in_kinds):

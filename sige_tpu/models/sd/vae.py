@@ -95,7 +95,7 @@ class SDVAEConfig:
     #: a dense live-stat tail; freezing the original image's statistics
     #: matches its own DDPM/GauGAN norm-fold semantics and removes the
     #: last full-resolution dense compute from the sparse path.
-    sige_tail: bool = True
+    sige_tail: bool = False
     cache_slots: int = 1
 
 

@@ -85,6 +85,18 @@ def _pair(v) -> IntPair:
     return (int(v[0]), int(v[1]))
 
 
+def sow_dense_macs(mod: nn.Module, x, features: int) -> None:
+    """Record the MACs of a Dense/linear layer applied to ``x``
+    (``prod(batch_dims) * in_features * out_features``) — the reference
+    counts these via torchprofile's traced matmuls; every ``nn.Dense``
+    call site must pair with this so the analytic totals stay comparable
+    to torchprofile's (transformer q/k/v/out and the GEGLU FF are a large
+    share of SD transformer compute)."""
+    import math
+
+    sow_macs(mod, math.prod(x.shape[:-1]) * x.shape[-1] * features)
+
+
 def sow_macs(mod: nn.Module, n: int) -> None:
     """Record analytic MACs into the mutable "profile" collection.
 

@@ -63,6 +63,20 @@ def install_reference(suite=None):
         stub = types.ModuleType("torchprofile")
         stub.profile_macs = lambda *a, **k: 0
         sys.modules["torchprofile"] = stub
+    # openaimodel.py imports omegaconf.listconfig.ListConfig only for an
+    # isinstance check on context_dim; stub it (not installed here)
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        lc = types.ModuleType("omegaconf.listconfig")
+
+        class ListConfig(list):
+            pass
+
+        lc.ListConfig = ListConfig
+        om.listconfig = lc
+        om.ListConfig = ListConfig
+        sys.modules["omegaconf"] = om
+        sys.modules["omegaconf.listconfig"] = lc
     import sige  # noqa: F401
 
     # SIGEModule.load_runtime does importlib.import_module("sige.cpu")
@@ -74,3 +88,28 @@ def install_reference(suite=None):
         if path not in sys.path:
             sys.path.insert(0, path)
     return sige
+
+
+def import_suite_module(suite, modname):
+    """Import ``modname`` (e.g. "models.ddpm_arch.sige_fused_unet") from a
+    reference app suite.
+
+    The app suites each define a TOP-LEVEL ``models`` package (diffusion,
+    gaugan, stable-diffusion all collide); when switching suites the stale
+    package entries are purged and the suite's directory moved to the
+    front of sys.path.
+    """
+    import importlib
+
+    install_reference(suite)
+    path = os.path.join(REF_ROOT, suite)
+    root = modname.split(".")[0]
+    if _cached.get(("owner", root)) != suite:
+        for k in list(sys.modules):
+            if k == root or k.startswith(root + "."):
+                del sys.modules[k]
+        if path in sys.path:
+            sys.path.remove(path)
+        sys.path.insert(0, path)
+        _cached[("owner", root)] = suite
+    return importlib.import_module(modname)

@@ -22,7 +22,7 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from ref_oracle import install_reference
+from ref_oracle import import_suite_module, install_reference
 from sige_tpu.core.masks import dilate_mask, downsample_mask
 from sige_tpu.nn import SIGEModel
 from sige_tpu.utils.config import AttrDict
@@ -111,7 +111,8 @@ DDPM_REF_CFG = {
 
 
 def test_ddpm_sige_fused_unet_parity(ref_diffusion, rng):
-    from models.ddpm_arch.sige_fused_unet import SIGEFusedUNet as RefUNet
+    RefUNet = import_suite_module(
+        "diffusion", "models.ddpm_arch.sige_fused_unet").SIGEFusedUNet
 
     from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
     from sige_tpu.utils.convert import convert_ddpm_fused_unet
@@ -166,3 +167,428 @@ def test_ddpm_sige_fused_unet_parity(ref_diffusion, rng):
     )
     # and the sparse paths actually diverge from full (the edit did land)
     assert np.abs(y_sparse - y_full).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# PD SIGEUNet (resample-in-resblock, scale-shift temb, multi-head attn)
+# ---------------------------------------------------------------------------
+
+PD_REF_CFG = {
+    "data": {"image_size": 32},
+    "model": {
+        "ch": 32,
+        "ch_mult": [1, 2],
+        "num_res_blocks": 1,
+        "attn_resolutions": [16],
+        "in_ch": 3,
+        "out_ch": 6,
+        "temb_ch": 64,
+        "head_dim": 16,
+        "num_heads": None,
+        "logsnr_input_type": "inv_cos",
+        "sige_block_size": {"normal": 6, "instance": 4},
+        "sparse_resolution_threshold": 16,
+    },
+}
+
+
+def test_pd_sige_unet_parity(ref_diffusion, rng):
+    RefUNet = import_suite_module(
+        "diffusion", "models.pd_arch.sige_unet").SIGEUNet
+
+    from sige_tpu.models.pd import PDUNetConfig, SIGEPDUNet
+    from sige_tpu.utils.convert import convert_pd_unet
+
+    torch.manual_seed(1)
+    ref = RefUNet(None, AttrDict.convert(PD_REF_CFG)).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    x0, x1, mask = _edit_pair(rng, 32)
+    logsnr = 1.3
+    lt = torch.full((1,), logsnr, dtype=torch.float32)
+
+    with torch.no_grad():
+        ref.set_mode("full")
+        y_full_ref = ref(nchw(x0), lt)
+        ref.set_masks(_torch_masks(ref_diffusion, mask, 2))
+        ref.set_mode("sparse")
+        y_sparse_ref = ref(nchw(x1), lt)
+
+    cfg = PDUNetConfig(
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,),
+        resolution=32, temb_ch=64, head_dim=16,
+        sparse_resolution_threshold=16, sige_tail=False,
+    )
+    params = convert_pd_unet(
+        sd, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,),
+        resolution=32,
+    )
+    model = SIGEModel(SIGEPDUNet(cfg=cfg))
+    x0j = jnp.asarray(x0)
+    lj = jnp.array([logsnr], jnp.float32)
+    model.init(jax.random.key(0), x0j, lj)
+    assert_params_match(params, model.params)
+    model.params = params
+
+    y_full = np.asarray(model.full(x0j, lj))
+    np.testing.assert_allclose(
+        y_full, nhwc(y_full_ref), atol=1e-4,
+        err_msg="full-mode outputs diverge from the reference",
+    )
+
+    model.set_masks(_my_masks(mask, 2))
+    y_sparse = np.asarray(model.sparse(jnp.asarray(x1), lj))
+    np.testing.assert_allclose(
+        y_sparse, nhwc(y_sparse_ref), atol=2e-4,
+        err_msg="sparse-mode outputs diverge from the reference",
+    )
+    assert np.abs(y_sparse - y_full).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# GauGAN SIGEFusedSPADE generator (BN running-stat folds, seg branch,
+# ScatterWithBlockResidual joins, num_sparse_layers gating)
+# ---------------------------------------------------------------------------
+
+GAUGAN_OPT = {
+    "ngf": 8,
+    "semantic_nc": 6,
+    "crop_size": 64,
+    "aspect_ratio": 2.0,
+    "num_upsampling_layers": "normal",
+    "norm_G": "spadesyncbatch3x3",
+    "main_block_size": 6,
+    "shortcut_block_size": 4,
+    "num_sparse_layers": 5,
+}
+
+
+def _onehot_semantics(rng, H, W, nc):
+    """Random one-hot label semantics + a binary edge-ish channel, plus an
+    edited variant (label rectangle repainted)."""
+    labels0 = rng.integers(0, nc - 1, (H, W))
+    labels1 = labels0.copy()
+    labels1[H // 4 : H // 4 + 8, W // 4 : W // 4 + 12] = (nc - 2)
+    def sem(labels):
+        onehot = np.zeros((H, W, nc), np.float32)
+        np.put_along_axis(onehot[:, :, : nc - 1], labels[:, :, None], 1.0, axis=2)
+        onehot[:, :, nc - 1] = (rng.random((H, W)) < 0.1)
+        return onehot[None]
+    edge = rng.random((H, W)) < 0.1
+    s0, s1 = sem(labels0), sem(labels1)
+    s1[0, :, :, nc - 1] = s0[0, :, :, nc - 1]  # same edge channel
+    return s0, s1
+
+
+def test_gaugan_sige_fused_spade_parity(rng):
+    try:
+        gen_mod = import_suite_module(
+            "gaugan", "models.spade_generators.sige_fused_spade_generator")
+        fused_mod = import_suite_module(
+            "gaugan", "models.spade_generators.fused_spade_generator")
+    except Exception as e:  # pragma: no cover - environment dependent
+        pytest.skip(f"reference unavailable: {e}")
+    import sige
+
+    from sige_tpu.models.gaugan import SPADEGenConfig, SIGEFusedSPADEGenerator
+    from sige_tpu.utils.convert import convert_gaugan_fused_spade
+
+    opt = AttrDict.convert(GAUGAN_OPT)
+    torch.manual_seed(2)
+    fused = fused_mod.FusedSPADEGenerator(opt).eval()
+    # randomize the BN running stats (identity at init) so the
+    # data-independent running-stat fold algebra is actually exercised
+    # (reference: gaugan/models/sige_normalization.py:61-88)
+    with torch.no_grad():
+        for name, buf in fused.named_buffers():
+            if name.endswith("running_mean"):
+                buf.normal_(0.0, 0.5)
+            elif name.endswith("running_var"):
+                buf.uniform_(0.5, 2.0)
+    ckpt = fused.state_dict()  # the fused_spade.pth checkpoint format
+
+    ref = gen_mod.SIGEFusedSPADEGenerator(opt).eval()
+    # load with the reference's param_free_norm shape-truncation rule
+    # (reference: gaugan/utils.py:20-33)
+    fixed = {}
+    for k, v in ref.state_dict().items():
+        vv = ckpt[k]
+        if v.shape != vv.shape:
+            assert v.dim() == vv.dim() == 1 and "param_free_norm" in k
+            fixed[k] = vv[: v.shape[0]]
+        else:
+            fixed[k] = vv
+    ref.load_state_dict(fixed)
+
+    H, W = 32, 64
+    s0, s1 = _onehot_semantics(rng, H, W, opt.semantic_nc)
+    mask = np.any(np.abs(s0[0] - s1[0]) > 1e-3, axis=-1)
+
+    sh, sw = 1, 2  # crop 64, aspect 2.0, "normal" (5 ups)
+    with torch.no_grad():
+        ref.set_mode("full")
+        y_full_ref = ref(nchw(s0))
+        m = sige.utils.dilate_mask(torch.from_numpy(mask), 1)
+        ref.set_masks(sige.utils.downsample_mask(m, (sh, sw), dilation=2))
+        ref.set_mode("sparse")
+        y_sparse_ref = ref(nchw(s1))
+
+    cfg = SPADEGenConfig(
+        ngf=8, semantic_nc=6, crop_size=64, aspect_ratio=2.0,
+        num_upsampling_layers="normal", num_sparse_layers=5,
+    )
+    params = convert_gaugan_fused_spade(
+        {k: v.numpy() for k, v in ckpt.items()}, num_upsampling_layers="normal")
+    model = SIGEModel(SIGEFusedSPADEGenerator(cfg=cfg), bucket_min=1,
+                      chain_nesting=False)
+    s0j = jnp.asarray(s0)
+    model.init(jax.random.key(0), s0j)
+    assert_params_match(params, model.params)
+    model.params = params
+
+    y_full = np.asarray(model.full(s0j))
+    np.testing.assert_allclose(
+        y_full, nhwc(y_full_ref), atol=1e-4,
+        err_msg="full-mode outputs diverge from the reference",
+    )
+
+    model.set_masks(downsample_mask(dilate_mask(mask, 1), min_res=(sh, sw),
+                                    dilation=2))
+    y_sparse = np.asarray(model.sparse(jnp.asarray(s1)))
+    np.testing.assert_allclose(
+        y_sparse, nhwc(y_sparse_ref), atol=2e-4,
+        err_msg="sparse-mode outputs diverge from the reference",
+    )
+    assert np.abs(y_sparse - y_full).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Stable Diffusion SIGEUNetModel (SIGE spatial transformer: tile-Q/full-KV,
+# cached text K/V, CFG batch-2)
+# ---------------------------------------------------------------------------
+
+SD_UNET_KW = dict(
+    image_size=16, in_channels=4, model_channels=32, out_channels=4,
+    num_res_blocks=1, attention_resolutions=[1, 2], channel_mult=[1, 2],
+    num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+    context_dim=16, use_checkpoint=False, legacy=False,
+)
+
+
+def test_sd_sige_unet_parity(rng):
+    try:
+        mod = import_suite_module(
+            "stable-diffusion", "ldm.modules.diffusionmodules.sige_openaimodel")
+    except Exception as e:  # pragma: no cover - environment dependent
+        pytest.skip(f"reference unavailable: {e}")
+    import sige
+
+    from sige_tpu.models.sd import SDUNetConfig, SIGESDUNet
+    from sige_tpu.utils.convert_sd import convert_sd_unet
+
+    torch.manual_seed(3)
+    ref = mod.SIGEUNetModel(**SD_UNET_KW).eval()
+    # openaimodel zero-initializes out-layer convs (zero_module) — an
+    # all-zero model would hide conversion bugs; randomize every zero param
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0.0, 0.1)
+    sd_dict = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    H = W = 16
+    x0, x1, mask = _edit_pair(rng, H, ch=4)
+    x0 = np.concatenate([x0, x0], axis=0)  # CFG uncond+cond batch
+    x1 = np.concatenate([x1, x1], axis=0)
+    tt = torch.full((2,), 3.0, dtype=torch.float32)
+    ctx = rng.standard_normal((2, 7, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        ref.set_mode("full")
+        y_full_ref = ref(nchw(x0), timesteps=tt, context=torch.from_numpy(ctx))
+        ref.set_masks(_torch_masks(sige, mask, 1))
+        ref.set_mode("sparse")
+        y_sparse_ref = ref(nchw(x1), timesteps=tt, context=torch.from_numpy(ctx))
+
+    cfg = SDUNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=4,
+        context_dim=16, num_groups=32,
+    )
+    params = convert_sd_unet(
+        sd_dict, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(1, 2),
+    )
+    model = SIGEModel(SIGESDUNet(cfg=cfg), bucket_min=1)
+    x0j = jnp.asarray(x0)
+    tj = jnp.array([3.0, 3.0], jnp.float32)
+    cj = jnp.asarray(ctx)
+    model.init(jax.random.key(0), x0j, tj, cj)
+    assert_params_match(params, model.params)
+    model.params = params
+
+    # tolerance: fp32 accumulation through the attention stack leaves a
+    # smooth ~3e-4 residual (no element above 1e-3; checked spatially)
+    y_full = np.asarray(model.full(x0j, tj, cj))
+    np.testing.assert_allclose(
+        y_full, nhwc(y_full_ref), atol=5e-4,
+        err_msg="full-mode outputs diverge from the reference",
+    )
+
+    model.set_masks(_my_masks(mask, 1))
+    y_sparse = np.asarray(model.sparse(jnp.asarray(x1), tj, cj))
+    np.testing.assert_allclose(
+        y_sparse, nhwc(y_sparse_ref), atol=1e-3,
+        err_msg="sparse-mode outputs diverge from the reference",
+    )
+    assert np.abs(y_sparse - y_full).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Stable Diffusion SIGE VAE (encoder + decoder, sparse-Q/dense-KV mid attn)
+# ---------------------------------------------------------------------------
+
+SD_VAE_KW = dict(
+    ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=[],
+    in_channels=3, resolution=32, z_channels=4, double_z=True,
+)
+
+
+def test_sd_sige_vae_parity(rng):
+    try:
+        mod = import_suite_module(
+            "stable-diffusion", "ldm.modules.diffusionmodules.sige_model")
+    except Exception as e:  # pragma: no cover - environment dependent
+        pytest.skip(f"reference unavailable: {e}")
+    import sige
+
+    from sige_tpu.models.sd import (
+        SDVAEConfig, SIGEDecoder, SIGEEncoder)
+    from sige_tpu.utils.convert_sd import convert_sd_decoder, convert_sd_encoder
+
+    torch.manual_seed(4)
+    ref_enc = mod.SIGEEncoder(**SD_VAE_KW).eval()
+    ref_dec = mod.SIGEDecoder(**SD_VAE_KW).eval()
+    enc_sd = {k: v.detach().numpy() for k, v in ref_enc.state_dict().items()}
+    dec_sd = {k: v.detach().numpy() for k, v in ref_dec.state_dict().items()}
+
+    R = 32
+    x0, x1, mask = _edit_pair(rng, R)
+
+    cfg = SDVAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), in_channels=3, out_ch=3,
+                      z_channels=4, resolution=R, num_groups=32)
+
+    # --- encoder ---
+    with torch.no_grad():
+        ref_enc.set_mode("full")
+        z_full_ref = ref_enc(nchw(x0))
+        ref_enc.set_masks(_torch_masks(sige, mask, 1))
+        ref_enc.set_mode("sparse")
+        z_sparse_ref = ref_enc(nchw(x1))
+
+    enc_params = convert_sd_encoder(enc_sd, ch_mult=(1, 2), num_res_blocks=1,
+                                    attn_resolutions=(), resolution=R)
+    enc = SIGEModel(SIGEEncoder(cfg=cfg), bucket_min=1)
+    x0j = jnp.asarray(x0)
+    enc.init(jax.random.key(0), x0j)
+    assert_params_match(enc_params, enc.params)
+    enc.params = enc_params
+
+    z_full = np.asarray(enc.full(x0j))
+    np.testing.assert_allclose(
+        z_full, nhwc(z_full_ref), atol=1e-4,
+        err_msg="encoder full-mode outputs diverge from the reference")
+    enc.set_masks(_my_masks(mask, 1))
+    z_sparse = np.asarray(enc.sparse(jnp.asarray(x1)))
+    np.testing.assert_allclose(
+        z_sparse, nhwc(z_sparse_ref), atol=2e-4,
+        err_msg="encoder sparse-mode outputs diverge from the reference")
+
+    # --- decoder (z = posterior mode of the original; edited z from the
+    # sparse-encoded edit, mirroring sdedit_runner's twin latents) ---
+    z0 = z_full[..., :4]
+    z1 = np.array(z_sparse[..., :4])
+    with torch.no_grad():
+        ref_dec.set_mode("full")
+        y_full_ref = ref_dec(nchw(z0))
+        ref_dec.set_masks(_torch_masks(sige, mask, 1))
+        ref_dec.set_mode("sparse")
+        y_sparse_ref = ref_dec(nchw(z1))
+
+    dec_params = convert_sd_decoder(dec_sd, ch_mult=(1, 2), num_res_blocks=1,
+                                    attn_resolutions=(), resolution=R)
+    dec = SIGEModel(SIGEDecoder(cfg=cfg), bucket_min=1)
+    z0j = jnp.asarray(z0)
+    dec.init(jax.random.key(1), z0j)
+    assert_params_match(dec_params, dec.params)
+    dec.params = dec_params
+
+    y_full = np.asarray(dec.full(z0j))
+    np.testing.assert_allclose(
+        y_full, nhwc(y_full_ref), atol=1e-4,
+        err_msg="decoder full-mode outputs diverge from the reference")
+    dec.set_masks(_my_masks(mask, 1))
+    y_sparse = np.asarray(dec.sparse(jnp.asarray(z1)))
+    np.testing.assert_allclose(
+        y_sparse, nhwc(y_sparse_ref), atol=5e-4,
+        err_msg="decoder sparse-mode outputs diverge from the reference")
+    assert np.abs(y_sparse - y_full).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Analytic MACs vs a torch-traced count of the reference
+# ---------------------------------------------------------------------------
+
+def test_sd_unet_macs_match_torch_traced_count(rng):
+    """The analytic "profile" MACs (convs + Dense layers + attention bmms)
+    must track a traced torch count of the reference UNet to ~10% — the
+    reference's README numbers come from torchprofile, so our MACs tables
+    are only comparable if the analytic count covers the same ops
+    (VERDICT r2: Dense layers — q/k/v/out + GEGLU FF — were missing)."""
+    try:
+        from torch.utils.flop_counter import FlopCounterMode
+
+        mod = import_suite_module(
+            "stable-diffusion", "ldm.modules.diffusionmodules.sige_openaimodel")
+    except Exception as e:  # pragma: no cover - environment dependent
+        pytest.skip(f"reference unavailable: {e}")
+
+    from sige_tpu.models.sd import SDUNetConfig, SIGESDUNet
+    from sige_tpu.nn.module import SIGECtx
+
+    torch.manual_seed(5)
+    ref = mod.SIGEUNetModel(**SD_UNET_KW).eval()
+
+    H = W = 16
+    x0 = rng.standard_normal((2, H, W, 4)).astype(np.float32)
+    tt = torch.full((2,), 3.0, dtype=torch.float32)
+    ctx_np = rng.standard_normal((2, 7, 16)).astype(np.float32)
+
+    ref.set_mode("full")
+    with torch.no_grad(), FlopCounterMode(display=False) as fcm:
+        ref(nchw(x0), timesteps=tt, context=torch.from_numpy(ctx_np))
+    ref_macs = fcm.get_total_flops() / 2
+
+    cfg = SDUNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=4,
+        context_dim=16, num_groups=32,
+    )
+    module = SIGESDUNet(cfg=cfg)
+    x0j = jnp.asarray(x0)
+    tj = jnp.array([3.0, 3.0], jnp.float32)
+    cj = jnp.asarray(ctx_np)
+    variables = module.init(jax.random.key(0), x0j, tj, cj,
+                            ctx=SIGECtx(mode="dense"))
+    # drop init's sown "profile" entries — sow appends, so passing them
+    # back in would double-count
+    variables = {k: v for k, v in variables.items() if k != "profile"}
+    _, mut = module.apply(variables, x0j, tj, cj, ctx=SIGECtx(mode="dense"),
+                          mutable=["profile", "cache", "meta"])
+    my_macs = float(sum(np.sum(np.asarray(l))
+                        for l in jax.tree.leaves(mut["profile"])))
+
+    assert my_macs == pytest.approx(ref_macs, rel=0.10), (
+        f"analytic MACs {my_macs / 1e6:.2f} M vs torch-traced "
+        f"{ref_macs / 1e6:.2f} M")
