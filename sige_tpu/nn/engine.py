@@ -38,6 +38,7 @@ class SIGEModel:
         self.cache: Dict = {}
         self.meta: Optional[Mapping] = None
         self._meta_host = None
+        self._input_sig = None
         self.plan: Dict = {}
         self.bucket_min = bucket_min
         #: "tiles" (fixed-capacity tile buffers — scattered multi-region
@@ -90,7 +91,20 @@ class SIGEModel:
 
     def full(self, *args, cache_id: int = 0, **kwargs):
         """Dense pass on the original input: refreshes every scatter cache
-        and the planning metadata."""
+        and the planning metadata.
+
+        Metadata depends only on input shapes; re-using one model at a new
+        input resolution refreshes it (and drops the now-stale plan) so
+        ``set_masks`` never silently plans for the old resolution."""
+        sig = jax.tree.map(lambda a: np.shape(a) if hasattr(a, "shape")
+                           else a, (args, kwargs))
+        if self.meta is None or sig != self._input_sig:
+            if self._input_sig is not None and sig != self._input_sig:
+                self.plan = {}   # stale plan: re-run set_masks
+                self.cache = {}  # old-shape scatter caches / slot buffers
+            self._input_sig = sig
+            self._meta_host = None
+            self.meta = None
         y, mut = self._full(
             self.params, self.cache, jnp.int32(cache_id), args, kwargs
         )

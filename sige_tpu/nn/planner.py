@@ -143,9 +143,12 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
         return False
 
     # iterate on the FITTED extents (bucketing can widen a window past
-    # its raw bounds, re-breaking a neighbour's containment); extents
-    # only grow and are canvas-capped, so this terminates
-    for _ in range(8 if nesting else 0):
+    # its raw bounds, re-breaking a neighbour's containment) until a
+    # fixpoint: extents only grow and are canvas-capped, so this
+    # terminates (at worst every window reaches full canvas). A fixed cap
+    # could exit unconverged on deep pyramids and silently hand
+    # window_chain_extend_up2 a broken containment guarantee.
+    while nesting:
         fitted = {res: fit(res) for res in reses}
         changed = False
         for res in reses:           # fine -> coarse: cover finer/2 + halo

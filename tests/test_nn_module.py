@@ -169,3 +169,26 @@ def test_mask_resolution_mismatch_errors(rng):
     model.full(x)
     with pytest.raises(KeyError):
         model.set_masks({(8, 8): np.zeros((8, 8), bool)})
+
+
+def test_meta_refreshes_on_new_resolution(rng):
+    """Re-using one model at a new input resolution must re-plan for the
+    new shapes instead of silently keeping the stale meta (engine.full
+    tracks the input-shape signature)."""
+    net = ExampleNet()
+    model = SIGEModel(net)
+    x16 = jnp.asarray(rng.standard_normal((1, 16, 16, 16)).astype(np.float32))
+    model.init(jax.random.key(0), x16)
+    model.full(x16)
+    model.set_masks({(16, 16): np.ones((16, 16), bool)})
+    y16 = model.sparse(x16)
+    assert y16.shape[1:3] == (16, 16)
+
+    # same model, new resolution: full() must refresh meta + drop the plan
+    x24 = jnp.asarray(rng.standard_normal((1, 24, 24, 16)).astype(np.float32))
+    y_full = model.full(x24)
+    with pytest.raises(RuntimeError):
+        model.sparse(x24)  # stale plan was dropped
+    model.set_masks({(24, 24): np.ones((24, 24), bool)})
+    y24 = model.sparse(x24)
+    np.testing.assert_allclose(np.asarray(y24), np.asarray(y_full), atol=1e-4)
