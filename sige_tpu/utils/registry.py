@@ -76,18 +76,96 @@ REGISTRY: Dict[str, CheckpointSpec] = {
 }
 
 
-def fetch(name: str, root: str = "pretrained", verify: bool = True) -> str:
-    """Resolve a registered checkpoint to a local path, verifying its md5
-    (the reference re-downloads on mismatch; here we raise with the URL)."""
+def _download_url(url: str, path: str, resume: bool = True,
+                  chunk: int = 1 << 20) -> None:
+    """Stream ``url`` to ``path`` with byte-range resume.
+
+    A partial file is kept at ``path + ".part"`` and continued with an
+    HTTP Range request when ``resume`` (http/https only; other schemes —
+    e.g. the file:// mirrors the tests use — restart from zero).
+    """
+    import urllib.error
+    import urllib.request
+
+    part = path + ".part"
+    start = 0
+    req_headers = {}
+    if resume and os.path.exists(part) and url.startswith(("http://",
+                                                           "https://")):
+        start = os.path.getsize(part)
+        req_headers["Range"] = f"bytes={start}-"
+    req = urllib.request.Request(url, headers=req_headers)
+    try:
+        resp = urllib.request.urlopen(req)
+    except urllib.error.HTTPError as e:  # pragma: no cover - server-dependent
+        if e.code == 416 and start > 0:  # range past EOF: restart clean
+            os.remove(part)
+            return _download_url(url, path, resume=False, chunk=chunk)
+        raise
+    mode = "ab" if start and resp.status == 206 else "wb"
+    with resp, open(part, mode) as f:
+        while True:
+            buf = resp.read(chunk)
+            if not buf:
+                break
+            f.write(buf)
+    os.replace(part, path)
+
+
+def download(name: str, root: str = "pretrained", tries: int = 3,
+             url: str | None = None) -> str:
+    """Download a registered checkpoint with md5-verified retry
+    (reference: diffusion/download_helper.py:28-47 — download, check md5,
+    delete and re-download on mismatch up to ``tries`` times).
+
+    Gated behind ``SIGE_TPU_ALLOW_DOWNLOAD=1`` (this build environment has
+    no egress); ``url`` overrides the registry mirror (the tests point it
+    at a local ``file://`` mirror).
+    """
+    if os.environ.get("SIGE_TPU_ALLOW_DOWNLOAD") != "1":
+        raise RuntimeError(
+            "network downloads are disabled; set SIGE_TPU_ALLOW_DOWNLOAD=1 "
+            "or place the checkpoint locally")
+    spec = REGISTRY[name]
+    src = url or spec.url
+    path = os.path.join(root, name)
+    os.makedirs(root, exist_ok=True)
+    last = None
+    for _ in range(tries):
+        _download_url(src, path)
+        got = md5_file(path)
+        if got == spec.md5:
+            return path
+        last = got
+        os.remove(path)
+    raise ValueError(
+        f"md5 mismatch for {name} after {tries} downloads from {src}: "
+        f"{last} != {spec.md5}")
+
+
+def fetch(name: str, root: str = "pretrained", verify: bool = True,
+          allow_download: bool | None = None, url: str | None = None) -> str:
+    """Resolve a registered checkpoint to a local path, verifying its md5.
+
+    On a missing file or checksum mismatch, re-download when permitted
+    (``allow_download`` or ``SIGE_TPU_ALLOW_DOWNLOAD=1``; the reference
+    re-downloads unconditionally) — otherwise raise with the URL."""
     spec = REGISTRY[name]
     path = os.path.join(root, name)
+    may_fetch = (allow_download if allow_download is not None
+                 else os.environ.get("SIGE_TPU_ALLOW_DOWNLOAD") == "1")
     if not os.path.exists(path):
+        if may_fetch:
+            return download(name, root, url=url)
         raise FileNotFoundError(
             f"checkpoint {name} not found at {path}; download it from "
             f"{spec.url} (no network egress in this environment)")
     if verify:
         got = md5_file(path)
         if got != spec.md5:
+            if may_fetch:
+                os.remove(path)
+                return download(name, root, url=url)
             raise ValueError(
                 f"md5 mismatch for {path}: {got} != {spec.md5}; re-download "
                 f"from {spec.url}")

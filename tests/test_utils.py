@@ -124,3 +124,48 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert maybe_load_native(path) is not None
     assert maybe_load_native(None) is None
     assert maybe_load_native(str(tmp_path / "missing.pth")) is None
+
+
+def test_registry_download_file_mirror(tmp_path, monkeypatch):
+    """The download+resume+md5-retry path, exercised against a local
+    file:// mirror (reference: diffusion/download_helper.py:28-47)."""
+    import hashlib
+
+    from sige_tpu.utils import registry as reg
+
+    payload = b"sige-tpu checkpoint payload" * 100
+    mirror = tmp_path / "mirror.pth"
+    mirror.write_bytes(payload)
+    md5 = hashlib.md5(payload).hexdigest()
+    spec = reg.CheckpointSpec("mirror.pth", md5, mirror.as_uri(), "x")
+    monkeypatch.setitem(reg.REGISTRY, "mirror.pth", spec)
+    root = tmp_path / "pretrained"
+
+    # gated off by default
+    with pytest.raises(RuntimeError):
+        reg.download("mirror.pth", root=str(root))
+    with pytest.raises(FileNotFoundError):
+        reg.fetch("mirror.pth", root=str(root))
+
+    monkeypatch.setenv("SIGE_TPU_ALLOW_DOWNLOAD", "1")
+    path = reg.fetch("mirror.pth", root=str(root))
+    assert open(path, "rb").read() == payload
+
+    # corrupt local file -> re-downloaded on fetch
+    with open(path, "wb") as f:
+        f.write(b"corrupted")
+    path2 = reg.fetch("mirror.pth", root=str(root))
+    assert open(path2, "rb").read() == payload
+
+    # mirror serving wrong bytes -> md5-retry loop raises after N tries
+    mirror.write_bytes(b"wrong content")
+    (root / "mirror.pth").unlink()
+    with pytest.raises(ValueError, match="md5 mismatch"):
+        reg.download("mirror.pth", root=str(root), tries=2)
+    assert not (root / "mirror.pth").exists()
+
+    # a stale .part file does not break a fresh download
+    mirror.write_bytes(payload)
+    (root / "mirror.pth.part").write_bytes(b"partial")
+    path3 = reg.fetch("mirror.pth", root=str(root))
+    assert open(path3, "rb").read() == payload
