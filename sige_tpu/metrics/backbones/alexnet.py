@@ -8,7 +8,7 @@ dict for the backbone and the lpips ``alex.pth`` lin heads.
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping
+from typing import Dict, List, Mapping, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -70,13 +70,24 @@ class LPIPSAlex:
     """images in [-1, 1] NHWC -> LPIPS features/distance
     (plugs into :func:`sige_tpu.metrics.lpips.lpips_from_features`)."""
 
-    def __init__(self, alexnet_sd: Mapping[str, np.ndarray],
-                 lpips_sd: Mapping[str, np.ndarray]):
+    def __init__(self, alexnet_sd: Optional[Mapping[str, np.ndarray]],
+                 lpips_sd: Optional[Mapping[str, np.ndarray]]):
         import jax
 
         self.module = AlexNetFeatures()
-        self.params = convert_alexnet(alexnet_sd)
-        self.lins = convert_lpips_lins(lpips_sd)
+        if alexnet_sd is None:
+            # UNTRAINED backbone: pipeline dry-runs only
+            self.params = self.module.init(
+                jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+        else:
+            self.params = convert_alexnet(alexnet_sd)
+        if lpips_sd is None:
+            taps = self.module.apply(
+                {"params": self.params}, jnp.zeros((1, 64, 64, 3)))
+            self.lins = [np.ones((t.shape[-1],), np.float32) / t.shape[-1]
+                         for t in taps]
+        else:
+            self.lins = convert_lpips_lins(lpips_sd)
         self._features = jax.jit(
             lambda p, x: self.module.apply({"params": p}, x))
 

@@ -212,9 +212,15 @@ class CityscapesSegmenter:
     STD = np.array([0.1829540508368939, 0.18656561047509476,
                     0.18447508988480435], np.float32)
 
-    def __init__(self, sd: Mapping[str, np.ndarray], classes: int = 19):
+    def __init__(self, sd: Optional[Mapping[str, np.ndarray]],
+                 classes: int = 19):
         self.module = DRNSeg(classes=classes)
-        self.params = convert_drn_seg(sd, classes)
+        if sd is None:
+            # UNTRAINED segmenter: pipeline dry-runs only
+            self.params = self.module.init(
+                jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+        else:
+            self.params = convert_drn_seg(sd, classes)
         self._fwd = jax.jit(lambda p, x: self.module.apply({"params": p}, x))
 
     def __call__(self, img: np.ndarray) -> np.ndarray:

@@ -9,7 +9,7 @@ features. Weights load from a local torchvision state dict.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -187,12 +187,18 @@ class FIDInception:
     """images [N, H, W, 3] in [0, 1] -> [N, 2048] features (resized to
     299 bilinear, scaled to [-1, 1] — the pytorch-fid convention)."""
 
-    def __init__(self, inception_sd: Mapping[str, np.ndarray],
+    def __init__(self, inception_sd: Optional[Mapping[str, np.ndarray]],
                  batch: int = 8):
         import jax
 
         self.module = InceptionV3Features()
-        self.params = convert_inception_v3(inception_sd)
+        if inception_sd is None:
+            # UNTRAINED backbone: pipeline dry-runs only (the metric
+            # numbers are meaningless without the torchvision weights)
+            self.params = self.module.init(
+                jax.random.key(0), jnp.zeros((1, 299, 299, 3)))["params"]
+        else:
+            self.params = convert_inception_v3(inception_sd)
         self.batch = batch
         self._fwd = jax.jit(lambda p, x: self.module.apply({"params": p}, x))
 

@@ -72,9 +72,10 @@ def make_inception_feature_fn(weights_path: Optional[str] = None):
     from .backbones import FIDInception
 
     if weights_path is None:
-        raise FileNotFoundError(
-            "InceptionV3 weights are required for FID; pass weights_path "
-            "to a local torchvision inception_v3 state dict")
+        # UNTRAINED backbone: the FID number is meaningless, but the full
+        # pipeline (features -> gaussian stats -> Frechet distance) runs —
+        # the dry-run mode cli/get_metric.py uses when no weights exist
+        return FIDInception(None)
     sd = torch.load(weights_path, map_location="cpu")
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return FIDInception(sd)

@@ -62,18 +62,21 @@ class LPIPS:
     Both are local files — no network egress here.
     """
 
-    def __init__(self, backbone_path: str, lin_path: str, net: str = "alex"):
+    def __init__(self, backbone_path: Optional[str] = None,
+                 lin_path: Optional[str] = None, net: str = "alex"):
         import torch
 
         if net != "alex":
             raise NotImplementedError("only the alex backbone is wired")
         from .backbones import LPIPSAlex
 
-        alex_sd = torch.load(backbone_path, map_location="cpu")
-        lin_sd = torch.load(lin_path, map_location="cpu")
         to_np = lambda sd: {k: v.numpy() if hasattr(v, "numpy") else v
                             for k, v in sd.items()}
-        self._impl = LPIPSAlex(to_np(alex_sd), to_np(lin_sd))
+        alex_sd = (to_np(torch.load(backbone_path, map_location="cpu"))
+                   if backbone_path else None)
+        lin_sd = (to_np(torch.load(lin_path, map_location="cpu"))
+                  if lin_path else None)
+        self._impl = LPIPSAlex(alex_sd, lin_sd)
 
     def __call__(self, a: np.ndarray, b: np.ndarray,
                  mask: Optional[np.ndarray] = None) -> float:

@@ -71,3 +71,48 @@ def test_lpips_feature_math(rng):
     m[:2, :2] = True
     dm = lpips_from_features(feats_a, feats_b, w, mask=m)
     assert dm != pytest.approx(d)
+
+
+def test_get_metric_cli_end_to_end(tmp_path, capsys, rng, monkeypatch):
+    """The quality harness dry-run: one CLI per metric on synthetic data
+    emits a number end-to-end (reference: diffusion/get_metric.py +
+    gaugan/get_metric.py). FID/LPIPS run on untrained backbones — the
+    numbers are meaningless but the full pipeline (load -> features ->
+    statistics -> scalar) is exercised; with local weight files the same
+    commands produce the real metrics."""
+    import sys
+
+    from sige_tpu.cli import get_metric
+    from sige_tpu.data import save_image
+
+    root, gt = tmp_path / "results", tmp_path / "gt"
+    masks = tmp_path / "masks"
+    seg_root, seg_gt = tmp_path / "seg", tmp_path / "seg_gt"
+    for d in (root, gt, masks, seg_root, seg_gt):
+        d.mkdir()
+    for i in range(3):
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        save_image(str(root / f"im{i}.png"), img)
+        save_image(str(gt / f"im{i}.png"),
+                   np.clip(img + 0.02 * rng.standard_normal(img.shape), 0, 1))
+        m = np.zeros((32, 32), bool)
+        m[4:20, 8:24] = True
+        np.save(masks / f"im{i}.npy", m)
+        np.save(seg_root / f"seg{i}.npy", rng.integers(0, 34, (32, 32)))
+        np.save(seg_gt / f"seg{i}.npy", rng.integers(0, 34, (32, 32)))
+
+    def run(*argv):
+        monkeypatch.setattr(sys, "argv", ["get_metric", *argv])
+        get_metric.main()
+        return capsys.readouterr().out
+
+    out = run("--metric", "psnr", "--root", str(root), "--gt_root", str(gt),
+              "--mask_root", str(masks))
+    assert "PSNR:" in out and "over 3 images" in out
+    out = run("--metric", "lpips", "--root", str(root), "--gt_root", str(gt))
+    assert "LPIPS:" in out
+    out = run("--metric", "fid", "--root", str(root), "--gt_root", str(gt))
+    assert "FID:" in out and np.isfinite(float(out.split("FID:")[1]))
+    out = run("--metric", "miou", "--root", str(seg_root),
+              "--gt_root", str(seg_gt))
+    assert "mIoU:" in out and "over 3 maps" in out
