@@ -133,6 +133,12 @@ def main():
         sample = checked[0]
         if has_nsfw[0]:
             print("NSFW concept detected; output blacked out")
+    else:
+        # parity gap with the reference, which screens every saved sample
+        # unconditionally (base_runner.py:83-92) — surfacing the skip so
+        # it is a visible choice, not a silent one
+        print("WARNING: no --safety_model given; the NSFW safety check "
+              "was SKIPPED (the reference always screens outputs)")
     if not args.no_watermark:
         from ..utils.watermark import WatermarkEncoder, put_watermark
 

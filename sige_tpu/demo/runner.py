@@ -174,6 +174,11 @@ def _dpm_demo_trajectory(module, sampler, params, plan, cache, xt, seq,
     model evaluations reads/writes cache slot ``step`` so edits can run
     sparse-only against the base trajectory (the reference demo's
     default sampler; diffusion_demo/runner.py + dpm_solver sampler)."""
+    # model_step below converts the eps prediction to x0 (data
+    # prediction), which matches _update's coefficients only for
+    # dpmsolver++; a 'dpmsolver' (noise-prediction) sampler would
+    # silently integrate the wrong quantity
+    assert sampler.algorithm_type == "dpmsolver++", sampler.algorithm_type
     order = sampler.order
     steps = len(seq)
     rev = list(reversed([-1] + list(seq)))  # [t_S, ..., t_1, -1]

@@ -67,14 +67,25 @@ def safety_head(image_embeds: jnp.ndarray,
 
 
 def preprocess_images(images: jnp.ndarray, size: int = 224) -> jnp.ndarray:
-    """[B, H, W, 3] floats in [0, 1] -> CLIP pixel_values [B, size, size, 3]
-    (bicubic resize + CLIP normalize, per the safety feature extractor)."""
+    """[B, H, W, 3] floats in [0, 1] -> CLIP pixel_values [B, size, size, 3].
+
+    Shortest-edge bicubic resize to ``size`` then center crop, matching
+    the CLIP AutoFeatureExtractor the reference's safety checker runs
+    (a direct aspect-distorting resize would flip safety decisions for
+    non-square outputs, e.g. ``--H 512 --W 768``), then CLIP normalize."""
     import jax
 
     x = jnp.asarray(images, jnp.float32)
-    if x.shape[1] != size or x.shape[2] != size:
-        x = jax.image.resize(
-            x, (x.shape[0], size, size, x.shape[3]), method="bicubic")
+    B, H, W, C = x.shape
+    if H != size or W != size:
+        if H <= W:
+            nh, nw = size, max(int(round(W * size / H)), size)
+        else:
+            nh, nw = max(int(round(H * size / W)), size), size
+        x = jax.image.resize(x, (B, nh, nw, C), method="bicubic")
+        r0 = (nh - size) // 2
+        c0 = (nw - size) // 2
+        x = x[:, r0 : r0 + size, c0 : c0 + size, :]
     return (x - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
 
 
