@@ -193,6 +193,19 @@ def round_to_bucket(n: int, minimum: int = 8) -> int:
     return -(-n // step) * step
 
 
+def grid_tiles(shape: IntPair, geom: BlockGeometry) -> int:
+    """Total candidate tile positions for a mask of ``shape`` — the hard
+    capacity ceiling (a bucket above it would pad tile buffers past the
+    canvas itself, making "sparse" compute exceed dense at coarse
+    resolutions, e.g. an 8x8 level floored to 8 tiles of 4 live)."""
+    bh, bw = geom.block_size
+    sh, sw = geom.block_stride
+    ph, pw = geom.offset
+    gh = (shape[0] + ph + bh - bh) // sh + 1
+    gw = (shape[1] + pw + bw - bw) // sw + 1
+    return gh * gw
+
+
 def reduce_mask_padded(
     mask,
     geom: BlockGeometry,
@@ -203,13 +216,15 @@ def reduce_mask_padded(
     ``(indices [K, 2] int32, count)`` padded with :data:`SENTINEL` rows.
 
     ``capacity`` pins K explicitly; otherwise K = next bucket above the live
-    count. Raises if the live count exceeds an explicit capacity.
+    count, capped at the canvas's total tile positions. Raises if the live
+    count exceeds an explicit capacity.
     """
     from .. import native
+    total = grid_tiles(_as_numpy(mask).shape, geom)
     if native.available():
         n = native.count_tiles(_as_numpy(mask).astype(bool), geom)
         if capacity is None:
-            capacity = round_to_bucket(n, bucket_min)
+            capacity = min(round_to_bucket(n, bucket_min), total)
         if n > capacity:
             raise ValueError(f"active tiles {n} exceed capacity {capacity}")
         return native.reduce_mask_padded(
@@ -217,7 +232,7 @@ def reduce_mask_padded(
     indices = reduce_mask(mask, geom)
     n = indices.shape[0]
     if capacity is None:
-        capacity = round_to_bucket(n, bucket_min)
+        capacity = min(round_to_bucket(n, bucket_min), total)
     if n > capacity:
         raise ValueError(f"active tiles {n} exceed capacity {capacity}")
     out = np.full((capacity, 2), SENTINEL, dtype=np.int32)

@@ -35,7 +35,7 @@ class DemoRunner:
     def __init__(self, model_cfg: Optional[DDPMUNetConfig] = None,
                  sample_steps: int = 25, noise_level: int = 400,
                  total_steps: int = 1000, mask_dilate_radius: int = 5,
-                 params=None, seed: int = 0, bucket_min: int = 8,
+                 params=None, seed: int = 0, bucket_min: int = 2,
                  sampler_type: str = "ddim"):
         """``sampler_type``: "ddim" or "dpm_solver" — the reference demo
         defaults to DPM-Solver (reference: diffusion_demo/configs)."""

@@ -41,6 +41,13 @@ from ...nn.module import (
     SIGEConv2d,
     SIGECtx,
     SIGEModule,
+    WindowState,
+)
+from ...ops.window import (
+    window_chain_extend,
+    window_chain_extend_up2,
+    window_gather,
+    window_slot_window,
 )
 
 
@@ -57,6 +64,12 @@ class SPADEGenConfig:
     shortcut_block_size: Optional[int] = 4
     num_sparse_layers: int = 5
     bn_eps: float = 1e-5
+    #: window-layout chains: thread (window, cache) state through the
+    #: SPADE blocks AND the bare 2x upsamples between them so full maps
+    #: only materialize once, before conv_img (same design as the DDPM /
+    #: VAE chains; no reference counterpart — the reference pays a
+    #: full-canvas join per block, sige_fused_spade_generator.py:146-176)
+    window_chain: bool = True
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -77,6 +90,62 @@ def nearest_resize(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 
 def up2x(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class _Up2State:
+    """A window chain carried across a bare nearest-2x upsample: the
+    DOUBLED window of the previous block's output. The planner's nesting
+    constraint (planner.py _plan_canonical_windows) makes it cover the
+    next block's whole extraction window, so the consumer slices straight
+    out of it (ops/window.py window_chain_extend_up2) — the upsample
+    itself never touches the full canvas."""
+
+    def __init__(self, win2, org2, parent: WindowState):
+        self.win2 = win2      # [B, 2*WH, 2*WW, C]
+        self.org2 = org2      # [2] int32 (parent origin doubled)
+        self.parent = parent  # for the materialize fallback
+
+    def to_map(self):
+        return up2x(self.parent.to_map())
+
+
+def _chain_up2(x):
+    """Chain-aware nearest-2x upsample between SPADE blocks."""
+    if isinstance(x, WindowState):
+        return _Up2State(up2x(x.win), x.org * 2, x)
+    return up2x(x)
+
+
+def _to_map(x):
+    """Materialize a chain state at a chain break."""
+    return x.to_map() if isinstance(x, (WindowState, _Up2State)) else x
+
+
+def _seg_window(seg: jnp.ndarray, out_res: Tuple[int, int],
+                meta: jnp.ndarray, edge: jnp.ndarray) -> jnp.ndarray:
+    """Window of ``nearest_resize(seg, out_res)`` at a gather's planned
+    (possibly virtual / out-of-bounds) origin, WITHOUT materializing the
+    resized full map: for integer-stride downsamples (every SPADE level —
+    seg is at the output resolution, blocks run at power-of-2 fractions)
+    the resize indexing ``src = dst * stride`` turns the window into one
+    strided dynamic_slice of ``seg`` itself. Same clamp+roll+edge-mask
+    recipe as ops/window.py _extract_window."""
+    B, Hs, Ws, C = seg.shape
+    oh, ow = out_res
+    EH, EW = edge.shape
+    if Hs % oh or Ws % ow:
+        return window_gather(nearest_resize(seg, (oh, ow)), meta, edge)
+    sr, sc = Hs // oh, Ws // ow
+    sh, sw = min(EH, oh), min(EW, ow)
+    zero = jnp.int32(0)
+    w = jax.lax.dynamic_slice(
+        seg, (zero, meta[0] * sr, meta[1] * sc, zero),
+        (B, sh * sr, sw * sc, C))
+    w = w[:, ::sr, ::sc]
+    if sh < EH or sw < EW:
+        w = jnp.pad(w, ((0, 0), (0, EH - sh), (0, EW - sw), (0, 0)))
+    w = jnp.roll(w, (meta[2], meta[3]), axis=(1, 2))
+    return jnp.where(edge[None, :, :, None], w, jnp.zeros((), w.dtype))
 
 
 def _leaky(x):
@@ -141,8 +210,18 @@ class FusedSPADENorm(SIGEModule):
         if self.pairing == "main":
             gamma_beta = self.sg(gamma_beta, ctx)
         elif self.pairing == "shortcut":
-            gamma_beta = self.scatter(gamma_beta, ctx)
-            gamma_beta = self.regather(gamma_beta, ctx)
+            if (ctx.mode == "sparse" and not ctx.sparse_update
+                    and self.seg_gather.planned_window()):
+                # window layout: every gather at a resolution shares THE
+                # canonical window, so the tile-geometry re-pairing the
+                # scatter->regather performs is an exact identity here —
+                # γβ are already full-map-exact across the window (the
+                # conv mixed fresh interior with the cached seg ring).
+                # Skipping it removes a full-canvas write per shortcut.
+                pass
+            else:
+                gamma_beta = self.scatter(gamma_beta, ctx)
+                gamma_beta = self.regather(gamma_beta, ctx)
         gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
         return normalized * (1 + gamma) + beta
 
@@ -223,7 +302,92 @@ class SIGEFusedSPADEResnetBlock(SIGEModule):
                 seg_gather=seg_gather, shortcut_geom_gather=shortcut_geom,
                 bn_eps=cfg.bn_eps)
 
+    # -- window-resident sparse path (mirrors ddpm/unet.py _chain_window) --
+    def _extend(self, x, g: Gather, scale=None, shift=None):
+        """Rebuild gather ``g``'s extraction window (+fused BN fold) from
+        a carried chain state or a full map."""
+        meta = g.get_variable("sige", "win_in")
+        edge = g.get_variable("sige", "win_edge")
+        if isinstance(x, _Up2State):
+            return window_chain_extend_up2(x.win2, x.org2, meta, edge,
+                                           scale, shift)
+        if isinstance(x, WindowState):
+            return window_chain_extend(x.win, x.org, x.cache5, x.cache_id,
+                                       meta, edge, scale, shift)
+        return window_gather(x, meta, edge, scale, shift)
+
+    def _input_window(self, x, org, shape):
+        """Canonical window of the block INPUT (the residual)."""
+        zero = jnp.int32(0)
+        if isinstance(x, _Up2State):
+            # nesting guarantees the doubled carried window covers the
+            # canonical window (it covers the whole extraction window)
+            return jax.lax.dynamic_slice(
+                x.win2, (zero, org[0] - x.org2[0], org[1] - x.org2[1], zero),
+                (x.win2.shape[0], shape[0], shape[1], x.win2.shape[3]))
+        if isinstance(x, WindowState):
+            return x.win  # same canonical window at the same resolution
+        return jax.lax.dynamic_slice(
+            x, (zero, org[0], org[1], zero),
+            (x.shape[0], shape[0], shape[1], x.shape[3]))
+
+    def _chain_window(self, x, seg, ctx: SIGECtx) -> WindowState:
+        g = self.main_gather
+        org = g.get_variable("sige", "win_org")
+        cache5 = self.join.get_variable("cache", "original")
+        res = cache5.shape[2:4]
+        _, cov = g.read_wsc(res)
+        WH, WW = cov.shape
+
+        # seg-modulation branch, window-resident: the seg window comes
+        # straight off the full-res seg map (strided slice), the ring off
+        # the cached actv map — no per-block full resize or canvas join
+        seg_win = _seg_window(
+            seg, res, self.seg_gather.get_variable("sige", "win_in"),
+            self.seg_gather.get_variable("sige", "win_edge"))
+        actvs = jax.nn.relu(self.mlp_shared(seg_win, ctx))
+        actvs = self.seg_sg(actvs, ctx)
+        if self.learned_shortcut:
+            actv_0, actv_1, actv_s = jnp.split(actvs, 3, axis=-1)
+        else:
+            actv_0, actv_1 = jnp.split(actvs, 2, axis=-1)
+
+        # main path
+        s1, b1 = self.norm_0.affine()
+        dx = self._extend(x, g, s1, b1)
+        dx = self.conv_0(_leaky(self.norm_0(dx, actv_0, ctx)), ctx)
+        s2, b2 = self.norm_1.affine()
+        dx = self.main_sg(dx, ctx, scale=s2, shift=b2)
+        dx = self.conv_1(_leaky(self.norm_1(dx, actv_1, ctx)), ctx)
+
+        # shortcut path + window-resident residual join
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        m = cov[None, :, :, None]
+        if self.learned_shortcut:
+            ss, sb = self.norm_s.affine()
+            x_s = self._extend(x, self.shortcut_gather, ss, sb)
+            x_s = self.conv_s(self.norm_s(x_s, actv_s, ctx), ctx)
+            _, cov_s = self.shortcut_gather.read_wsc(res)
+            y1w = window_slot_window(
+                self.join.get_variable("cache", "residual"),
+                ctx.cache_id, org, (WH, WW))
+            s = cov_s[None, :, :, None]
+            out = (jnp.where(m, dx + y1w, y0w)
+                   + jnp.where(s, x_s - y1w, jnp.zeros((), dx.dtype)))
+        else:
+            xs = self._input_window(x, org, (WH, WW))
+            out = jnp.where(m, dx + xs, y0w)
+        return WindowState(out, cache5, ctx.cache_id, org)
+
     def __call__(self, x, seg, ctx: SIGECtx):
+        if (ctx.mode == "sparse" and self.main_sparse
+                and self.cfg.window_chain and not ctx.sparse_update
+                and self.main_gather.planned_window()
+                and (not self.learned_shortcut or self.shortcut_sparse)
+                and (not isinstance(x, _Up2State)
+                     or self.main_gather.has_variable("sige", "wup_ok"))):
+            return self._chain_window(x, seg, ctx)
+        x = _to_map(x)
         sparse = ctx.mode == "sparse"
         seg_r = nearest_resize(seg, x.shape[1:3])
         if self.main_sparse:
@@ -315,21 +479,22 @@ class SIGEFusedSPADEGenerator(SIGEModule):
         x = nearest_resize(seg, cfg.latent_hw)
         x = self.fc(x, ctx)
         x = self.head_0(x, seg, ctx)
-        x = up2x(x)
+        x = _chain_up2(x)
         x = self.G_middle_0(x, seg, ctx)
         if cfg.num_upsampling_layers in ("more", "most"):
-            x = up2x(x)
+            x = _chain_up2(x)
         x = self.G_middle_1(x, seg, ctx)
-        x = up2x(x)
+        x = _chain_up2(x)
         x = self.up_0(x, seg, ctx)
-        x = up2x(x)
+        x = _chain_up2(x)
         x = self.up_1(x, seg, ctx)
-        x = up2x(x)
+        x = _chain_up2(x)
         x = self.up_2(x, seg, ctx)
-        x = up2x(x)
+        x = _chain_up2(x)
         x = self.up_3(x, seg, ctx)
         if cfg.num_upsampling_layers == "most":
-            x = up2x(x)
+            x = _chain_up2(x)
             x = self.up_4(x, seg, ctx)
+        x = _to_map(x)  # the chain's single materialize, before conv_img
         x = self.conv_img(_leaky(x), ctx)
         return jnp.tanh(x)

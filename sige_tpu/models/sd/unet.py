@@ -65,6 +65,17 @@ class SDUNetConfig:
     #: TPU the tile machinery is pure overhead once a level's tiles cover
     #: the whole map; 0 reproduces the reference wiring)
     sparse_resolution_threshold: int = 0
+    #: token count at/above which the transformer's self-attn K/V come
+    #: from a scatter-updated cache instead of reprojecting the full map
+    #: each sparse call. MEASURED NEGATIVE on TPU v5e at SD scale and
+    #: disabled by default: the two per-block K/V scatter-joins cost more
+    #: wall than the projections they save at every level (64²: 25.0/7.57
+    #: = 3.3x vs 25.0/6.55 = 3.8x with recompute — full-map joins run at
+    #: gather throughput while 4096x320x320 projections ride the MXU).
+    #: The mechanism stays (exact per-token algebra, oracle-tested in
+    #: tests/test_reference_model_parity.py) for accelerators where
+    #: scatter is cheap relative to matmul.
+    kv_cache_min_tokens: int = 1 << 30
     cache_slots: int = 1
 
 
@@ -225,23 +236,36 @@ class SIGECrossAttention(SIGEModule):
 
 
 class _SelfAttention(nn.Module):
-    """Plain self/contextual attention (fresh K/V every call) for attn1
-    (reference: ldm/modules/attention.py CrossAttention)."""
+    """Self/contextual attention for attn1, split into ``kv`` and
+    ``attend`` so the transformer can source K/V from a scatter-updated
+    cache instead of recomputing the projections over the full token map
+    every sparse call (reference: ldm/modules/attention.py CrossAttention
+    recomputes; the SIGE reference too — caching is exact for per-token
+    projections since unedited tokens' K/V never change)."""
 
     query_dim: int
     heads: int = 8
     dim_head: int = 64
 
-    @nn.compact
-    def __call__(self, x, context=None):
+    def setup(self):
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        src = x if context is None else context
-        k = nn.Dense(inner, use_bias=False, name="to_k")(src)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(src)
+        self.to_q = nn.Dense(inner, use_bias=False)
+        self.to_k = nn.Dense(inner, use_bias=False)
+        self.to_v = nn.Dense(inner, use_bias=False)
+        self.to_out = nn.Dense(self.query_dim)
+
+    def kv(self, src):
+        """K/V projections of ``src`` tokens ([..., M, C] -> 2x [..., M, inner])."""
+        inner = self.heads * self.dim_head
+        sow_dense_macs(self, src, inner)
+        sow_dense_macs(self, src, inner)
+        return self.to_k(src), self.to_v(src)
+
+    def attend(self, x, k, v):
+        """Multi-head attention of ``x`` queries over (k, v) tokens."""
+        inner = self.heads * self.dim_head
+        q = self.to_q(x)
         sow_dense_macs(self, x, inner)
-        sow_dense_macs(self, src, inner)
-        sow_dense_macs(self, src, inner)
         B, N, _ = q.shape
         M = k.shape[1]
         nh, hd = self.heads, self.dim_head
@@ -253,7 +277,12 @@ class _SelfAttention(nn.Module):
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
         sow_macs(self, 2 * B * N * M * nh * hd)
         sow_dense_macs(self, out, self.query_dim)
-        return nn.Dense(self.query_dim, name="to_out")(out)
+        return self.to_out(out)
+
+    def __call__(self, x, context=None):
+        src = x if context is None else context
+        k, v = self.kv(src)
+        return self.attend(x, k, v)
 
 
 class _GEGLUFeedForward(nn.Module):
@@ -295,9 +324,14 @@ class SIGEBasicTransformerBlock(SIGEModule):
         self.norm2 = nn.LayerNorm()
         self.norm3 = nn.LayerNorm()
 
-    def __call__(self, x, ctx: SIGECtx, full_x=None, context=None):
-        sa_ctx = None if full_x is None else self.norm1(full_x)
-        x = self.attn1(self.norm1(x), context=sa_ctx) + x
+    def __call__(self, x, ctx: SIGECtx, kv1=None, context=None):
+        """``kv1``: precomputed (k, v) token maps for the self-attention
+        (the transformer sources them from a scatter-updated cache in
+        sparse mode); None -> classic self-contained self-attention."""
+        if kv1 is None:
+            x = self.attn1(self.norm1(x)) + x
+        else:
+            x = self.attn1.attend(self.norm1(x), *kv1) + x
         x = self.attn2(self.norm2(x), ctx, context=context) + x
         x = self.ff(self.norm3(x)) + x
         return x
@@ -333,6 +367,19 @@ class SIGESpatialTransformer(SIGEModule):
             bs = cfg.transformer_block_size
             self.gather = Gather(block_size=bs, kernel_size=1, conv_stride=1,
                                  conv_padding=0)
+            # per-block K/V caches for attn1: the full pass caches the
+            # projected K/V maps; sparse passes scatter only the edited
+            # tokens' projections over them (exact — projections and
+            # LayerNorm are per-token), replacing both the full-map
+            # K/V recompute AND the full-map feature materialization of
+            # the reference design (sige_attention.py:30-42)
+            self.kv_scatters = [
+                (Scatter(gather=self.gather, cache_slots=cfg.cache_slots),
+                 Scatter(gather=self.gather, cache_slots=cfg.cache_slots))
+                for _ in range(self.depth)
+            ]
+            # small-map fallback (kv_cache_min_tokens): one scatter of the
+            # features, K/V reprojected from the full map
             self.scatter1 = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
             self.scatter2 = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
 
@@ -354,21 +401,44 @@ class SIGESpatialTransformer(SIGEModule):
 
         h_shape = h.shape
         if self.sparse_ok:
-            full = self.scatter1(h, ctx)  # full map (cached in full mode)
-            full_tok = full.reshape(B, H * W, self.inner)
             if not sparse:
-                tok = full_tok
-                full_arg = None
+                tok = h.reshape(B, H * W, self.inner)
             else:
                 # tile layout: [B*K, bs, bs, C]; window: [B, WH, WW, C]
                 tok = h.reshape(B, -1, self.inner)
-                full_arg = full_tok
         else:
             tok = h.reshape(B, H * W, self.inner)
-            full_arg = None
 
-        for block in self.blocks:
-            tok = block(tok, ctx, full_x=full_arg, context=context)
+        kv_cached = (self.sparse_ok
+                     and H * W >= self.cfg.kv_cache_min_tokens)
+        full_tok = None
+        if self.sparse_ok and not kv_cached and ctx.mode != "dense":
+            # small maps: one feature scatter, K/V reprojected in-block
+            full = self.scatter1(h, ctx)
+            full_tok = full.reshape(B, H * W, self.inner)
+
+        for block, kv_sc in zip(
+                self.blocks,
+                self.kv_scatters if self.sparse_ok else [None] * self.depth):
+            if kv_cached and ctx.mode != "dense":
+                # K/V over the FULL token map, from cache: the full pass
+                # projects all tokens and caches the maps; sparse passes
+                # project only the tile tokens and scatter them over the
+                # cache (exact: LayerNorm + projections are per-token).
+                # For depth > 1 the deeper blocks' unedited-token K/V are
+                # the full pass's (attention mixes globally; same
+                # approximation as the reference's stale full map).
+                kt, vt = block.attn1.kv(block.norm1(tok))
+                sc_k, sc_v = kv_sc
+                k_map = sc_k(kt.reshape(*h_shape[:-1], self.inner), ctx)
+                v_map = sc_v(vt.reshape(*h_shape[:-1], self.inner), ctx)
+                kv1 = (k_map.reshape(B, H * W, self.inner),
+                       v_map.reshape(B, H * W, self.inner))
+            elif full_tok is not None and ctx.mode == "sparse":
+                kv1 = block.attn1.kv(block.norm1(full_tok))
+            else:
+                kv1 = None
+            tok = block(tok, ctx, kv1=kv1, context=context)
 
         if self.sparse_ok and sparse:
             h = tok.reshape(h_shape)

@@ -222,9 +222,16 @@ def build_plan(
             cap = (capacities or {}).get(path)
             memo_key = ("idx", res, geom, cap)
             if memo_key not in _memo:
-                _memo[memo_key] = reduce_mask_padded(
-                    masks[res], geom, capacity=cap, bucket_min=bucket_min
-                )
+                try:
+                    _memo[memo_key] = reduce_mask_padded(
+                        masks[res], geom, capacity=cap, bucket_min=bucket_min
+                    )
+                except ValueError:
+                    # edit outgrew a pinned capacity: fall back to a fresh
+                    # bucket (one recompile) rather than failing the edit
+                    _memo[memo_key] = reduce_mask_padded(
+                        masks[res], geom, capacity=None,
+                        bucket_min=bucket_min)
             indices, count = _memo[memo_key]
             # numpy leaves: the engine device_puts the WHOLE plan in one
             # batched transfer (per-leaf transfers cost ~50ms each through

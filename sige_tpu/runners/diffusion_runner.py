@@ -70,7 +70,7 @@ class DiffusionRunner:
 
     def __init__(self, model_cfg: DDPMUNetConfig = DDPMUNetConfig(),
                  run_cfg: DiffusionRunConfig = DiffusionRunConfig(),
-                 params=None, seed: int = 0, bucket_min: int = 8,
+                 params=None, seed: int = 0, bucket_min: int = 2,
                  layout: str = "auto"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg

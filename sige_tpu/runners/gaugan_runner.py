@@ -45,16 +45,18 @@ def get_edges(instance: np.ndarray) -> np.ndarray:
 class GauGANRunner:
     def __init__(self, model_cfg: SPADEGenConfig = SPADEGenConfig(),
                  run_cfg: GauGANRunConfig = GauGANRunConfig(),
-                 params=None, seed: int = 0, bucket_min: int = 8,
+                 params=None, seed: int = 0, bucket_min: int = 2,
                  module=None, layout: str = "auto"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = module or SIGEFusedSPADEGenerator(cfg=model_cfg)
-        # chain_nesting=False: the SPADE generators run no window chains,
-        # and the containment growth would balloon the tiny
-        # high-channel head levels (16x32x1024)
+        # chain_nesting follows the model's window_chain flag: the SPADE
+        # blocks thread window chains across the bare 2x upsamples, which
+        # needs the planner's cross-resolution containment growth
+        nesting = (getattr(model_cfg, "window_chain", False)
+                   and isinstance(self.module, SIGEFusedSPADEGenerator))
         self.model = SIGEModel(self.module, params, bucket_min=bucket_min,
-                               layout=layout, chain_nesting=False)
+                               layout=layout, chain_nesting=nesting)
         if params is None:
             h = round(model_cfg.crop_size / model_cfg.aspect_ratio)
             dummy = jnp.zeros((1, h, model_cfg.crop_size, model_cfg.semantic_nc),

@@ -41,7 +41,7 @@ class PDRunner:
 
     def __init__(self, model_cfg: PDUNetConfig = PDUNetConfig(),
                  run_cfg: PDRunConfig = PDRunConfig(),
-                 params=None, seed: int = 0, bucket_min: int = 8,
+                 params=None, seed: int = 0, bucket_min: int = 2,
                  layout: str = "auto"):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg

@@ -414,6 +414,9 @@ def test_sd_sige_unet_parity(rng):
         in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
         attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=4,
         context_dim=16, num_groups=32,
+        # exercise the scatter-updated self-attn K/V cache against the
+        # reference's recompute-from-full-map (exact per-token algebra)
+        kv_cache_min_tokens=1,
     )
     params = convert_sd_unet(
         sd_dict, channel_mult=(1, 2), num_res_blocks=1,
