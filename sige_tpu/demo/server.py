@@ -36,9 +36,13 @@ button{margin:4px;padding:6px 14px}</style></head><body>
   <option value="brush">brush</option>
   <option value="eraser">eraser</option>
   <option value="fill">fill</option>
+  <option value="stamp">stamp</option>
  </select>
+ stamp <select id="stamp"></select>
+ <input type="file" id="stampfile" accept="image/*" style="width:140px">
  color <input type="color" id="color" value="#b05030">
  size <input type="range" id="size" min="2" max="40" value="12">
+ <button onclick="undo()">undo</button>
  <button onclick="send('/generate')">generate</button>
  <button onclick="send('/apply')">apply</button>
  <button onclick="reset()">reset base</button>
@@ -51,9 +55,46 @@ ec.width = ec.height = oc.width = oc.height = R;
 const ectx = ec.getContext('2d'), octx = oc.getContext('2d');
 let drawing = false;
 let baseImg = null;  // kept for the eraser (restores base pixels)
+const undoStack = [];  // bounded snapshot history (server twin: demo/canvas.py UndoStack)
+function snapshot(){
+  undoStack.push(ectx.getImageData(0, 0, R, R));
+  if (undoStack.length > 20) undoStack.shift();
+}
+function undo(){
+  const im = undoStack.pop();
+  if (im) ectx.putImageData(im, 0, 0);
+}
+window.onkeydown = e => {
+  if ((e.ctrlKey || e.metaKey) && e.key === 'z') { e.preventDefault(); undo(); }
+};
+const stamps = {};  // name -> Image, filled from /stamps + the file input
+document.getElementById('stampfile').onchange = e => {
+  const f = e.target.files[0];
+  if (!f) return;
+  const img = new Image();
+  img.onload = () => {
+    stamps[f.name] = img;
+    const o = document.createElement('option');
+    o.value = o.textContent = f.name;
+    document.getElementById('stamp').appendChild(o);
+    document.getElementById('stamp').value = f.name;
+  };
+  img.src = URL.createObjectURL(f);
+};
+function stampAt(e){
+  // centered placement, like the reference's drawPixmap stamp
+  const img = stamps[document.getElementById('stamp').value];
+  if (!img) return;
+  const [x, y] = pos(e);
+  const s = document.getElementById('size').value * R / 512 * 6;
+  snapshot();
+  ectx.drawImage(img, x - s/2, y - s/2, s, s);
+}
 ec.onmousedown = e => {
   const t = document.getElementById('tool').value;
-  if (t === 'fill') { fill(e); return; }
+  if (t === 'fill') { snapshot(); fill(e); return; }
+  if (t === 'stamp') { stampAt(e); return; }
+  snapshot();
   drawing = true; draw(e);
 };
 ec.onmousemove = e => {if (drawing) draw(e);};
@@ -119,7 +160,22 @@ async function reset(){
     ectx.drawImage(img, 0, 0); octx.drawImage(img, 0, 0); baseImg = img;
   };
   img.src = js.base;
+  undoStack.length = 0;
 }
+async function loadStamps(){
+  const res = await fetch('/stamps');
+  const js = await res.json();
+  const sel = document.getElementById('stamp');
+  for (const [name, url] of Object.entries(js)){
+    const img = new Image();
+    img.src = url;
+    stamps[name] = img;
+    const o = document.createElement('option');
+    o.value = o.textContent = name;
+    sel.appendChild(o);
+  }
+}
+loadStamps();
 reset();
 </script></body></html>"""
 
@@ -132,12 +188,16 @@ def _png_to_array(data_url: str, R: int) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
-def _array_to_data_url(arr: np.ndarray) -> str:
+def _array_to_data_url(arr: np.ndarray, alpha: np.ndarray = None) -> str:
     from PIL import Image
 
+    rgb = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    if alpha is not None:
+        rgb = np.concatenate(
+            [rgb, (np.clip(alpha, 0, 1) * 255).astype(np.uint8)[..., None]],
+            axis=-1)
     buf = io.BytesIO()
-    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(
-        buf, format="PNG")
+    Image.fromarray(rgb).save(buf, format="PNG")
     return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
 
 
@@ -154,6 +214,16 @@ def make_handler(runner, base_image: np.ndarray, resolution: int):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/stamps":
+                from .canvas import STAMP_NAMES, make_stamp
+
+                rgba = {
+                    name: _array_to_data_url(make_stamp(name)[..., :3],
+                                             alpha=make_stamp(name)[..., 3])
+                    for name in STAMP_NAMES
+                }
+                self._send(rgba)
+                return
             self._send(PAGE.replace("%RES%", str(resolution)).encode(),
                        ctype="text/html")
 
@@ -204,12 +274,25 @@ def main():
                              sparse_resolution_threshold=R)
     else:
         cfg = DDPMUNetConfig(resolution=R)
+    restore = args.restore_from
+    if restore is None and not args.tiny and R == 256:
+        # serve converted church256 weights when the registered checkpoint
+        # already sits in ./pretrained (reference demo loads them by
+        # default; diffusion_demo/runner.py)
+        import os
+
+        from ..utils.registry import REGISTRY
+
+        cand = os.path.join("pretrained", "church256-ddpm-fused_unet.pth")
+        if "church256-ddpm-fused_unet.pth" in REGISTRY and os.path.exists(cand):
+            restore = cand
+            print(f"restoring local checkpoint {cand}")
     params = None
-    if args.restore_from:
+    if restore:
         from ..utils.convert import convert_ddpm_fused_unet, load_torch_state_dict
 
         params = convert_ddpm_fused_unet(
-            load_torch_state_dict(args.restore_from), cfg.ch_mult,
+            load_torch_state_dict(restore), cfg.ch_mult,
             cfg.num_res_blocks, cfg.attn_resolutions, cfg.resolution)
     runner = DemoRunner(cfg, sample_steps=args.sample_steps, params=params,
                         bucket_min=1 if args.tiny else 8,

@@ -108,3 +108,47 @@ def test_demo_dpm_solver_sampler():
     _ = runner.generate(edited, sparse_update=True)
     out3 = runner.generate(edited)
     np.testing.assert_allclose(out3, np.clip(edited, 0, 1), atol=1e-5)
+
+
+def test_stamps_endpoint_and_tools_in_page(server):
+    url, _ = server
+    with urllib.request.urlopen(url, timeout=60) as res:
+        page = res.read().decode()
+    # round-3 tool parity: stamp + undo (reference:
+    # diffusion_demo/ui/canvas.py:289-292, ui/hparams.py:41-62)
+    for frag in ("stamp", "undo()", "snapshot()"):
+        assert frag in page
+    with urllib.request.urlopen(url + "/stamps", timeout=60) as res:
+        stamps = json.loads(res.read())
+    assert set(stamps) == {"sun", "moon", "tree", "house"}
+    for v in stamps.values():
+        assert v.startswith("data:image/png;base64,")
+
+
+def test_canvas_stamp_and_undo_ops():
+    from sige_tpu.demo.canvas import UndoStack, make_stamp, place_stamp
+
+    img = np.zeros((32, 32, 3), np.float32)
+    stamp = make_stamp("sun", size=16)
+    assert stamp.shape == (16, 16, 4)
+
+    undo = UndoStack(limit=3)
+    undo.push(img)
+    out = place_stamp(img, stamp, 16, 16)
+    # centered placement painted the middle, left the corners alone
+    assert out[16, 16].sum() > 0.5
+    assert out[0, 0].sum() == 0 and (img == 0).all()  # input untouched
+
+    # clipped placement at the border must not wrap or raise
+    out2 = place_stamp(out, stamp, 0, 0, scale=2.0)
+    assert out2.shape == img.shape and np.isfinite(out2).all()
+    assert out2[31, 31].sum() == out[31, 31].sum()
+
+    undo.push(out)
+    undo.push(out2)
+    undo.push(out2)  # over limit: oldest snapshot dropped
+    assert len(undo) == 3
+    np.testing.assert_array_equal(undo.pop(), out2)
+    np.testing.assert_array_equal(undo.pop(), out2)
+    np.testing.assert_array_equal(undo.pop(), out)
+    assert undo.pop() is None
