@@ -65,13 +65,30 @@ def inverse_data_transform(x: np.ndarray, rescaled: bool) -> np.ndarray:
     return np.clip((x + 1.0) / 2.0 if rescaled else x, 0.0, 1.0)
 
 
+def _maybe_bf16_kernels(model: SIGEModel, flag) -> None:
+    """Store conv kernels in bfloat16 on TPU (``flag=None`` = auto).
+
+    Bit-identical there — the MXU rounds f32 conv operands to bf16 at
+    JAX's default precision anyway — while halving weight HBM reads,
+    which dominate the dense low-resolution high-channel U-Net levels
+    (see :func:`sige_tpu.utils.bf16_conv_kernels`). Disabled off-TPU
+    where convolutions are true-f32.
+    """
+    from ..utils import bf16_conv_kernels, on_tpu
+
+    if flag is None:
+        flag = on_tpu()
+    if flag:
+        model.params = bf16_conv_kernels(model.params)
+
+
 class DiffusionRunner:
     """Drives a (SIGE) DDPM U-Net through SDEdit generation/profiling."""
 
     def __init__(self, model_cfg: DDPMUNetConfig = DDPMUNetConfig(),
                  run_cfg: DiffusionRunConfig = DiffusionRunConfig(),
                  params=None, seed: int = 0, bucket_min: int = 2,
-                 layout: str = "auto"):
+                 layout: str = "auto", bf16_kernels=None):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = SIGEFusedUNet(cfg=model_cfg)
@@ -82,6 +99,7 @@ class DiffusionRunner:
                 (1, model_cfg.resolution, model_cfg.resolution, model_cfg.in_ch),
                 jnp.float32)
             self.model.init(jax.random.key(seed), dummy, jnp.zeros((1,), jnp.float32))
+        _maybe_bf16_kernels(self.model, bf16_kernels)
         sched = DiffusionSchedule.create(
             run_cfg.beta_schedule, run_cfg.beta_start, run_cfg.beta_end,
             run_cfg.total_steps)

@@ -20,6 +20,7 @@ from ..core.masks import compute_difference_mask, dilate_mask, downsample_mask
 from ..models.gaugan import SIGEFusedSPADEGenerator, SPADEGenConfig
 from ..nn import SIGEModel
 from ..nn.module import SIGECtx
+from .diffusion_runner import _maybe_bf16_kernels
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +47,7 @@ class GauGANRunner:
     def __init__(self, model_cfg: SPADEGenConfig = SPADEGenConfig(),
                  run_cfg: GauGANRunConfig = GauGANRunConfig(),
                  params=None, seed: int = 0, bucket_min: int = 2,
-                 module=None, layout: str = "auto"):
+                 module=None, layout: str = "auto", bf16_kernels=None):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = module or SIGEFusedSPADEGenerator(cfg=model_cfg)
@@ -62,6 +63,7 @@ class GauGANRunner:
             dummy = jnp.zeros((1, h, model_cfg.crop_size, model_cfg.semantic_nc),
                               jnp.float32)
             self.model.init(jax.random.key(seed), dummy)
+        _maybe_bf16_kernels(self.model, bf16_kernels)
 
     def preprocess_input(self, label: np.ndarray,
                          instance: Optional[np.ndarray] = None) -> np.ndarray:

@@ -20,7 +20,8 @@ from ..models.pd import PDUNetConfig, SIGEPDUNet
 from ..nn import SIGEModel
 from ..nn.module import SIGECtx
 from ..samplers import PDSampler, get_sampling_sequence, logsnr_schedule
-from .diffusion_runner import data_transform, inverse_data_transform
+from .diffusion_runner import (_maybe_bf16_kernels, data_transform,
+                               inverse_data_transform)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,7 +43,7 @@ class PDRunner:
     def __init__(self, model_cfg: PDUNetConfig = PDUNetConfig(),
                  run_cfg: PDRunConfig = PDRunConfig(),
                  params=None, seed: int = 0, bucket_min: int = 2,
-                 layout: str = "auto"):
+                 layout: str = "auto", bf16_kernels=None):
         self.model_cfg = model_cfg
         self.run_cfg = run_cfg
         self.module = SIGEPDUNet(cfg=model_cfg)
@@ -54,6 +55,7 @@ class PDRunner:
                 jnp.float32)
             self.model.init(jax.random.key(seed), dummy,
                             jnp.zeros((1,), jnp.float32))
+        _maybe_bf16_kernels(self.model, bf16_kernels)
         self.sampler = PDSampler(total_steps=run_cfg.total_steps)
 
     # ------------------------------------------------------------------
