@@ -448,8 +448,28 @@ class SIGEDownsample(SIGEModule):
             self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
-        x = _to_map(x)  # stride-2 chains would need the cascade-prone
-        # fine-covers-coarse window nesting; materialize instead
+        if (self.sparse_ok and ctx.mode == "sparse"
+                and self.g.planned_window()
+                and self.g.has_variable("sige", "wdn_ok")
+                and not ctx.sparse_update):
+            # window-resident across the downsample (see vae.py): the
+            # stride-2 extraction window spans ~2x the coarse canonical
+            # window, which the planner's nesting (coarse covers fine/2 +
+            # halo) guarantees covers the carried fine window
+            meta = self.g.get_variable("sige", "win_in")
+            edge = self.g.get_variable("sige", "win_edge")
+            if isinstance(x, WindowState):
+                ext = window_chain_extend(x.win, x.org, x.cache5,
+                                          x.cache_id, meta, edge)
+            else:
+                ext = window_gather(x, meta, edge)
+            h = self.conv(ext, ctx)
+            cache5 = self.s.get_variable("cache", "original")
+            org, cov = self.g.read_wsc(cache5.shape[2:4])
+            y0w = window_slot_window(cache5, ctx.cache_id, org, cov.shape)
+            out = jnp.where(cov[None, :, :, None], h.astype(y0w.dtype), y0w)
+            return WindowState(out, cache5, ctx.cache_id, org)
+        x = _to_map(x)
         if self.sparse_ok:
             x = self.g(x, ctx)
         x = self.conv(x, ctx)
@@ -671,8 +691,21 @@ class SIGEFusedUNet(SIGEModule):
                 temb, start, size, axis=1)
 
         if self._head_sparse and ctx.mode == "sparse":
-            hs = [self.in_scatter(self.conv_in(self.in_gather(x, ctx), ctx),
-                                  ctx)]
+            hwin = self.conv_in(self.in_gather(x, ctx), ctx)
+            if (cfg.window_chain and self.in_gather.planned_window()
+                    and not ctx.sparse_update):
+                # start the window chain at the stem (skips a full-canvas
+                # cache write; the stem state also rides the final skip)
+                cache5 = self.in_scatter.get_variable("cache", "original")
+                org, cov = self.in_gather.read_wsc(cache5.shape[2:4])
+                y0w = window_slot_window(cache5, ctx.cache_id, org,
+                                         cov.shape)
+                hs = [WindowState(
+                    jnp.where(cov[None, :, :, None],
+                              hwin.astype(y0w.dtype), y0w),
+                    cache5, ctx.cache_id, org)]
+            else:
+                hs = [self.in_scatter(hwin, ctx)]
         elif self._head_sparse and ctx.mode == "full":
             self.in_gather(x, ctx)  # records meta
             hs = [self.in_scatter(self.conv_in(x, ctx), ctx)]

@@ -42,6 +42,7 @@ from ...nn.norm import group_norm_with_affine
 from ...ops.window import (
     window_chain_extend,
     window_chain_extend_up2,
+    window_epilogue,
     window_gather,
     window_slot_window,
 )
@@ -68,9 +69,9 @@ class PDUNetConfig:
     block_size_normal: Optional[int] = 6
     block_size_instance: Optional[int] = 4
     sparse_resolution_threshold: int = 64
-    #: window-layout chains (see ddpm unet) incl. across up-resblocks;
-    #: down-resblocks materialize (stride-2 chains need the
-    #: cascade-prone nesting direction).
+    #: window-layout chains (see ddpm unet) incl. across up-resblocks and
+    #: down-resblocks (pre-pool doubled extraction windows, planner
+    #: ``wdnp_in`` products).
     window_chain: bool = True
     #: fold norm_out + window conv_out (see ddpm unet sige_tail)
     sige_tail: bool = False
@@ -113,7 +114,8 @@ class SIGEPDResnetBlock(SIGEModule):
             self.main_gather = Gather(
                 block_size=cfg.block_size_normal, kernel_size=3, conv_stride=1,
                 conv_padding=1,
-                activation="swish" if self.resample is None else "identity")
+                activation="swish" if self.resample is None else "identity",
+                prepool_chain=self.resample == "down")
             self.sg = ScatterGather(gather=self.main_gather, activation="swish",
                                     cache_slots=cfg.cache_slots)
         if cin != cout:
@@ -151,7 +153,9 @@ class SIGEPDResnetBlock(SIGEModule):
             and self.main_gather.planned_window()
             and (self.resample is None
                  or (self.resample == "up" and isinstance(x, WindowState)
-                     and self.main_gather.has_variable("sige", "wup_ok"))))
+                     and self.main_gather.has_variable("sige", "wup_ok"))
+                 or (self.resample == "down"
+                     and self.main_gather.has_variable("sige", "wdnp_in"))))
         if chain_ok:
             return self._chain_window(x, ctx)
         if isinstance(x, tuple):
@@ -222,6 +226,21 @@ class SIGEPDResnetBlock(SIGEModule):
             win2 = jnp.repeat(jnp.repeat(w, 2, axis=1), 2, axis=2)
             ext = window_chain_extend_up2(win2, st.org * 2, meta, edge)
             xs2 = jnp.repeat(jnp.repeat(st.win, 2, axis=1), 2, axis=2)
+        elif self.resample == "down":
+            # norm1+swish happen BEFORE the avg-pool: extract the raw
+            # extraction window DOUBLED to the producer's resolution from
+            # its (cache, window) state, apply the folded affine + swish,
+            # pool, and conv — the full fine map is never touched. The
+            # raw doubled window also supplies the pooled shortcut below.
+            meta2 = g.get_variable("sige", "wdnp_in")
+            edge2 = g.get_variable("sige", "wdnp_edge")
+            p = parts[0]
+            if isinstance(p, WindowState):
+                ext2 = window_chain_extend(p.win, p.org, p.cache5,
+                                           p.cache_id, meta2, edge2)
+            else:
+                ext2 = window_gather(p, meta2, edge2)
+            ext = avg_pool2(window_epilogue(ext2, edge2, s1, b1, "swish"))
         else:
             exts = []
             for p in parts:
@@ -231,8 +250,6 @@ class SIGEPDResnetBlock(SIGEModule):
                 else:
                     exts.append(window_gather(p, meta, edge))
             ext = jnp.concatenate(exts, axis=-1)
-            from ...ops.window import window_epilogue
-
             ext = window_epilogue(ext, edge, s1, b1, "swish")
 
         h = self.conv1(ext, ctx)
@@ -253,6 +270,13 @@ class SIGEPDResnetBlock(SIGEModule):
             xs = jax.lax.dynamic_slice(
                 xs2, (zero, org[0] - 2 * st.org[0], org[1] - 2 * st.org[1],
                       zero), (xs2.shape[0], WH, WW, xs2.shape[3]))
+        elif self.resample == "down":
+            # shortcut = avg-pool of the raw input: the doubled window is
+            # aligned to its virtual origin 2*(org - 1), so the output
+            # window's pre-pool extent starts at static offset (2, 2)
+            xs = avg_pool2(jax.lax.slice(
+                ext2, (0, 2, 2, 0),
+                (ext2.shape[0], 2 + 2 * WH, 2 + 2 * WW, ext2.shape[3])))
         else:
             wins = []
             for p in parts:
@@ -500,8 +524,20 @@ class SIGEPDUNet(SIGEModule):
             temb = None
 
         if self._head_sparse and ctx.mode == "sparse":
-            hs = [self.in_scatter(self.conv_in(self.in_gather(x, ctx), ctx),
-                                  ctx)]
+            hwin = self.conv_in(self.in_gather(x, ctx), ctx)
+            if (cfg.window_chain and self.in_gather.planned_window()
+                    and not ctx.sparse_update):
+                # start the window chain at the stem (see ddpm unet)
+                cache5 = self.in_scatter.get_variable("cache", "original")
+                org, cov = self.in_gather.read_wsc(cache5.shape[2:4])
+                y0w = window_slot_window(cache5, ctx.cache_id, org,
+                                         cov.shape)
+                hs = [WindowState(
+                    jnp.where(cov[None, :, :, None],
+                              hwin.astype(y0w.dtype), y0w),
+                    cache5, ctx.cache_id, org)]
+            else:
+                hs = [self.in_scatter(hwin, ctx)]
         elif self._head_sparse and ctx.mode == "full":
             self.in_gather(x, ctx)  # records meta
             hs = [self.in_scatter(self.conv_in(x, ctx), ctx)]

@@ -382,6 +382,29 @@ class SIGEVAEDownsample(SIGEModule):
             self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
+        if (self.sparse_ok and ctx.mode == "sparse"
+                and self.g.planned_window()
+                and self.g.has_variable("sige", "wdn_ok")
+                and not ctx.sparse_update):
+            # window-resident across the downsample: the stride-2
+            # extraction window spans ~2x the coarse canonical window,
+            # which the planner's nesting constraint guarantees covers
+            # the carried fine window — rebuild it from a window-sized
+            # fine-cache slice plus one overlay, never the full map
+            meta = self.g.get_variable("sige", "win_in")
+            edge = self.g.get_variable("sige", "win_edge")
+            if isinstance(x, WindowState):
+                ext = window_chain_extend(x.win, x.org, x.cache5,
+                                          x.cache_id, meta, edge)
+            else:
+                ext = window_gather(x, meta, edge)
+            h = self.conv(ext, ctx)  # VALID stride-2 on the halo window
+            cache5 = self.s.get_variable("cache", "original")
+            org, cov = self.g.read_wsc(cache5.shape[2:4])
+            y0w = window_slot_window(cache5, ctx.cache_id, org, cov.shape)
+            out = jnp.where(cov[None, :, :, None], h.astype(y0w.dtype), y0w)
+            return WindowState(out, cache5, ctx.cache_id, org)
+        x = _ensure_map(x)
         if self.sparse_ok:
             x = self.g(x, ctx)
         x = self.conv(x, ctx)
@@ -498,7 +521,19 @@ class SIGEEncoder(SIGEModule):
         if self._head_sparse and ctx.mode == "sparse":
             hin = self.in_gather(x, ctx)
             hwin = self.conv_in(hin, ctx)
-            h = self.in_scatter(hwin, ctx)
+            if (cfg.window_chain and self.in_gather.planned_window()
+                    and not ctx.sparse_update):
+                # start the window chain at the stem: the canonical-window
+                # overlay state replaces a 512^2 full-canvas cache write
+                cache5 = self.in_scatter.get_variable("cache", "original")
+                org, cov = self.in_gather.read_wsc(cache5.shape[2:4])
+                y0w = window_slot_window(cache5, ctx.cache_id, org, cov.shape)
+                h = WindowState(
+                    jnp.where(cov[None, :, :, None], hwin.astype(y0w.dtype),
+                              y0w),
+                    cache5, ctx.cache_id, org)
+            else:
+                h = self.in_scatter(hwin, ctx)
         elif self._head_sparse and ctx.mode == "full":
             self.in_gather(x, ctx)  # records meta
             h = self.conv_in(x, ctx)
@@ -512,7 +547,6 @@ class SIGEEncoder(SIGEModule):
                     h = _ensure_map(h)
                     h = self.down_attns[i][ib](h, ctx)
             if i != len(cfg.ch_mult) - 1:
-                h = _ensure_map(h)
                 h = self.downsamples[i](h, ctx)
         h = self.mid_block1(h, ctx)
         h = _ensure_map(h)

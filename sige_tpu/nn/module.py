@@ -152,6 +152,11 @@ class Gather(SIGEModule):
     offset: Optional[Union[int, IntPair]] = None
     activation: str = "identity"
     activation_first: bool = False
+    #: request pre-pool chain products (``wdnp_in``/``wdnp_edge``): the
+    #: extraction window doubled to 2x input resolution, for consumers
+    #: whose input is an avg-pool of a window-resident producer (PD's
+    #: resample-in-resblock down path)
+    prepool_chain: bool = False
 
     @property
     def geom(self) -> BlockGeometry:
@@ -172,6 +177,8 @@ class Gather(SIGEModule):
             self.sow("meta", "geom", jnp.array(
                 [*g.block_size, *g.block_stride, *g.offset,
                  *g.kernel_size, *g.conv_stride], jnp.int32))
+            if self.prepool_chain:
+                self.sow("meta", "prepool", jnp.int32(1))
             assert scale is None and shift is None, (
                 "full mode never fuses epilogues; apply the norm densely")
             return x

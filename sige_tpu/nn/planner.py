@@ -329,6 +329,33 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
             and in_res[0] % 2 == 0 and in_res[1] % 2 == 0):
         entry["wup_ok"] = np.int32(1)
 
+    # chain-across-downsample marker: for a stride-2 consumer the
+    # extraction window spans ~2x the coarse canonical window, and the
+    # nesting constraint (coarse covers fine/2 + 1px halo) already
+    # guarantees 2x coarse covers the whole carried fine window — so the
+    # generic window_chain_extend overlay never clamps. Requires the fine
+    # resolution to be exactly the doubled output resolution (the pair the
+    # nesting loop actually constrained) and nesting to be on.
+    if (_memo.get("chain_nesting", True) and (sh, sw) == (2, 2)
+            and in_res == (2 * ores[0], 2 * ores[1])
+            and in_res in _memo["windows"]):
+        entry["wdn_ok"] = np.int32(1)
+
+    # pre-pool chain products (requested via Gather.prepool_chain): the
+    # extraction window doubled to 2x input resolution. A consumer whose
+    # input is an avg-pool of a window-resident producer at 2x extracts
+    # the doubled window from the producer's (cache, window) state, pools
+    # it, and proceeds — the nesting constraint (this window covers the
+    # producer's half + halo) again guarantees the doubled extraction
+    # extent covers the carried fine window.
+    dblr = (in_res[0] * 2, in_res[1] * 2)
+    if (_memo.get("chain_nesting", True) and (sh, sw) == (1, 1)
+            and "prepool" in node and dblr in _memo["windows"]):
+        meta2, edge2 = _window_meta((2 * v_org[0], 2 * v_org[1]),
+                                    (2 * ext[0], 2 * ext[1]), dblr)
+        entry["wdnp_in"] = meta2
+        entry["wdnp_edge"] = edge2
+
     skey = ("srcmap", in_res, geom, None, ores, "w")
     if skey not in _memo:
         _memo[skey] = build_src_map(indices, count, geom, ores)

@@ -93,6 +93,25 @@ def test_encoder_chain_sparse_on_original_exact():
     np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
 
 
+def test_encoder_chain_matches_nonchain_on_edit():
+    """Down-chains (stem start + stride-2 window_chain_extend across the
+    downsamples) must agree with the plain window layout on an edited
+    input — both freshen the same canonical windows."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    xe = x.at[:, 24:36, 28:40].add(0.5)
+    outs = []
+    for chain in (False, True):
+        cfg = dataclasses.replace(CFG3, window_chain=chain, sige_tail=True)
+        model = SIGEModel(SIGEEncoder(cfg=cfg), layout="window",
+                          bucket_min=1)
+        model.init(jax.random.key(0), x)
+        model.full(x)
+        model.set_masks(downsample_mask(_mask64(), min_res=4))
+        outs.append(np.asarray(model.sparse(xe)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
 DDPM_TINY = None  # built lazily to avoid import cost at collection
 
 
