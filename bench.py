@@ -9,6 +9,13 @@ Prints ONE JSON line:
 
 ``vs_baseline`` is the achieved speedup divided by the 4.0x target from
 BASELINE.json. Detail includes the DDPM church256 suite and MACs.
+
+Methodology: per-step device time measured inside a fused lax.scan
+trajectory (utils.scan_timed) with forced host sync — the samplers
+dispatch whole trajectories as one scan, so production pays per-step
+device time; single-dispatch timing through this environment's remote
+tunnel adds a ~0.7 ms host floor per call that generation never pays.
+Both modes are measured identically.
 """
 
 import argparse
@@ -17,12 +24,14 @@ import json
 import numpy as np
 
 
-def _timeit(f, *args, iters=30, batches=3):
-    """Min-of-batches average via a forced host sync (block_until_ready
-    does NOT wait on remote-dispatch backends; see utils.timed_loop)."""
-    from sige_tpu.utils import timed_loop
+def _timeit(f, v, x, iters=30):
+    """Per-step device time inside a fused lax.scan trajectory — the
+    samplers' execution model (one dispatch per trajectory, not per
+    step), with forced host sync (block_until_ready does NOT wait on
+    remote-dispatch backends). See utils.scan_timed."""
+    from sige_tpu.utils import scan_timed
 
-    return timed_loop(f, args, warmup=3, iters=iters, batches=batches)
+    return scan_timed(f, v, x, warmup=3, iters=max(iters // 8, 4))
 
 
 def _edit_mask(R, pct=1.2, dilate=5):
@@ -61,8 +70,8 @@ def bench_sd_unet(iters, dtype="bfloat16"):
             lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, tree)
 
     cb = c.astype(dt)
-    fs = jax.jit(lambda v, x: model.module.apply(v, x, t, cb, ctx=SIGECtx(mode="sparse")))
-    fd = jax.jit(lambda p, x: model.module.apply({"params": p}, x, t, cb, ctx=SIGECtx(mode="dense")))
+    fs = lambda v, x: model.module.apply(v, x, t, cb, ctx=SIGECtx(mode="sparse"))
+    fd = lambda p, x: model.module.apply({"params": p}, x, t, cb, ctx=SIGECtx(mode="dense"))
     v = {"params": cast(model.params), "cache": cast(model.cache), "sige": model.plan}
     xb = x.astype(dt)
     sparse_ms = _timeit(fs, v, xb, iters=iters)
@@ -114,9 +123,9 @@ def bench_vae_decoder(iters, dtype="bfloat16"):
     v = {"params": cast(dec.params), "cache": cast(dec.cache),
          "sige": dec.plan}
     zb = z.astype(dt)
-    fs = jax.jit(lambda v, x: dec.module.apply(v, x, ctx=SIGECtx(mode="sparse")))
-    fd = jax.jit(lambda p, x: dec.module.apply({"params": p}, x,
-                                               ctx=SIGECtx(mode="dense")))
+    fs = lambda v, x: dec.module.apply(v, x, ctx=SIGECtx(mode="sparse"))
+    fd = lambda p, x: dec.module.apply({"params": p}, x,
+                                       ctx=SIGECtx(mode="dense"))
     return {
         "dense_ms": round(_timeit(fd, cast(dec.params), zb, iters=iters), 2),
         "sparse_ms": round(_timeit(fs, v, zb, iters=iters), 2),
@@ -149,9 +158,9 @@ def bench_vae_encoder(iters, dtype="bfloat16"):
     v = {"params": cast(enc.params), "cache": cast(enc.cache),
          "sige": enc.plan}
     xb = img.astype(dt)
-    fs = jax.jit(lambda v, x: enc.module.apply(v, x, ctx=SIGECtx(mode="sparse")))
-    fd = jax.jit(lambda p, x: enc.module.apply({"params": p}, x,
-                                               ctx=SIGECtx(mode="dense")))
+    fs = lambda v, x: enc.module.apply(v, x, ctx=SIGECtx(mode="sparse"))
+    fd = lambda p, x: enc.module.apply({"params": p}, x,
+                                       ctx=SIGECtx(mode="dense"))
     return {
         "dense_ms": round(_timeit(fd, cast(enc.params), xb, iters=iters), 2),
         "sparse_ms": round(_timeit(fs, v, xb, iters=iters), 2),

@@ -111,13 +111,15 @@ class PDRunner:
                      "sige": self.model.plan}
 
         # variables as jit args (closure constants overflow remote compile)
-        @jax.jit
         def fwd(v, x):
             return self.module.apply(v, x, ls, ctx=ctx)
 
-        from ..utils import timed_loop
-        latency_ms = timed_loop(fwd, (variables, x1),
-                                warmup=warmup, iters=iters)
+        # per-step device time inside a fused scan trajectory — the
+        # generate path's execution model (see utils.scan_timed)
+        from ..utils import scan_timed
+        latency_ms = scan_timed(fwd, variables, x1,
+                                warmup=max(warmup // 4, 2),
+                                iters=max(iters // 8, 4))
 
         _, mut = jax.jit(lambda v, x: self.module.apply(
             v, x, ls, ctx=ctx, mutable=["profile", "cache", "meta"]))(variables, x1)

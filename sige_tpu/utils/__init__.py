@@ -1,7 +1,8 @@
 """Utilities: platform setup, profiling, config."""
 
 from .platform import (bf16_conv_kernels, device_sync,
-                       enable_compilation_cache, on_tpu, timed_loop)
+                       enable_compilation_cache, on_tpu, scan_timed,
+                       timed_loop)
 
 __all__ = ["enable_compilation_cache", "device_sync", "timed_loop",
-           "bf16_conv_kernels", "on_tpu"]
+           "scan_timed", "bf16_conv_kernels", "on_tpu"]

@@ -69,6 +69,42 @@ def timed_loop(fn, args, warmup: int = 5, iters: int = 50,
     return max(best, 0.0)
 
 
+def scan_timed(step, v, x, length: int = 16, warmup: int = 3,
+               iters: int = 8, batches: int = 5) -> float:
+    """Per-step device time (ms) of ``step(v, x)`` inside a fused
+    ``lax.scan`` trajectory of ``length`` steps.
+
+    This is the execution model of every runner's ``generate`` path: the
+    samplers dispatch the WHOLE denoising trajectory as one fused scan
+    (sige_tpu/samplers), so production pays per-step *device* time, not
+    per-step dispatch. Timing single dispatches through this
+    environment's remote-dispatch tunnel adds a ~0.7 ms host floor per
+    call (measured: a trivial windowed conv times at 0.696 ms) that the
+    fused trajectory amortizes away — so the scanned measurement is both
+    more faithful and far more stable.
+
+    The carry feeds ``1e-30 * mean(out)`` back into the next input —
+    numerically a no-op (far below one ulp of any activation), but a real
+    data dependence, so XLA can neither hoist the loop-invariant body out
+    of the scan nor dead-code-eliminate it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def scanned(v, x):
+        def body(acc, _):
+            out = step(v, x + acc.astype(x.dtype))
+            leaf = jax.tree.leaves(out)[0]
+            return (jnp.float32(1e-30)
+                    * jnp.mean(leaf).astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+        return acc
+
+    f = jax.jit(scanned)
+    ms = timed_loop(f, (v, x), warmup=warmup, iters=iters, batches=batches)
+    return ms / length
+
+
 def bf16_conv_kernels(params):
     """Cast every 4-D conv ``kernel`` leaf to bfloat16 *storage*.
 
