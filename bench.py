@@ -55,7 +55,9 @@ def bench_sd_unet(iters, dtype="bfloat16"):
 
     dt = jnp.dtype(dtype)
     cfg = SDUNetConfig()
-    model = SIGEModel(SIGESDUNet(cfg=cfg))
+    # window layout: the compact bench edit rides the window-resident
+    # chains (resblocks, skips, resamples, masked stale-K/V transformers)
+    model = SIGEModel(SIGESDUNet(cfg=cfg), layout="window")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 4)).astype(np.float32))
     t = jnp.full((2,), 17.0, jnp.float32)

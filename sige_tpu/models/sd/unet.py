@@ -15,6 +15,19 @@ Highlights of the sparse design:
   * the middle block runs dense (block_size None;
     reference: sige_openaimodel.py:370-396) but still uses cached folded
     norms and cached text K/V in sparse mode.
+
+Window-resident chains (``window_chain``, layout="window"; no reference
+counterpart — the TPU-native formulation): resblocks, skip
+concatenations, resamples AND the transformers thread (window, cache)
+state so full maps never materialize between blocks (profiled: the
+full-map scatter joins were ~2.2 ms of the 6.4 ms sparse step at SD
+scale). The transformer stays global without any join via *masked
+stale-K/V attention*: the full pass caches each block's projected K/V
+token maps; a sparse pass projects only the window tokens and attends
+over [stale-full-map ++ fresh-window] with additive -inf biases that
+keep exactly one token per spatial position (stale where unedited,
+fresh where edited) — the exact token set of the scatter-updated map,
+without building it.
 """
 
 from __future__ import annotations
@@ -35,12 +48,26 @@ from ...nn.module import (
     SIGEConv2d,
     SIGECtx,
     SIGEModule,
+    WindowState,
+    _read_slot,
     _slotted_cache,
     sow_dense_macs,
     sow_macs,
 )
 from ..ddpm.unet import _FoldedGroupNorm, _swish
 from ...nn.norm import group_norm_with_affine
+from ...ops.window import (
+    window_chain_extend,
+    window_chain_extend_up2,
+    window_epilogue,
+    window_gather,
+    window_slot_window,
+)
+
+
+def _to_map(x):
+    """Materialize a chain state at a chain break."""
+    return x.to_map() if isinstance(x, WindowState) else x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +103,12 @@ class SDUNetConfig:
     #: tests/test_reference_model_parity.py) for accelerators where
     #: scatter is cheap relative to matmul.
     kv_cache_min_tokens: int = 1 << 30
+    #: window-layout chains: thread (window, cache) state through
+    #: resblocks, skip concatenations, resamples and transformers (masked
+    #: stale-K/V attention) so full maps only materialize at the dense
+    #: middle block and the tail. Strictly fewer full-canvas copies;
+    #: sparse == full on the original input is preserved.
+    window_chain: bool = True
     cache_slots: int = 1
 
 
@@ -146,7 +179,19 @@ class SIGESDResBlock(SIGEModule):
                                 cache_slots=cfg.cache_slots)
 
     def __call__(self, x, emb, ctx: SIGECtx):
+        """``x`` may be a tuple (h, skip) — the U-Net's skip
+        concatenation: dense/full/tile modes concatenate the maps here;
+        the window-chain sparse path extends each part's window
+        separately and concatenates window-resident."""
         live = self.live_dense and ctx.mode == "sparse"
+        if (ctx.mode == "sparse" and not live and self.main_sparse
+                and self.cfg.window_chain and not ctx.sparse_update
+                and self.main_gather.planned_window()):
+            return self._chain_window(x, ctx)
+        if isinstance(x, tuple):
+            x = jnp.concatenate([_to_map(a) for a in x], axis=-1)
+        else:
+            x = _to_map(x)
         dctx = dataclasses.replace(ctx, mode="dense") if live else ctx
         h, xs = x, x
         if self.channels != self.out_channels:
@@ -186,6 +231,62 @@ class SIGESDResBlock(SIGEModule):
         if self.main_sparse:
             return self.join(h, ctx, residual=xs)
         return h + xs
+
+    # -- window-resident sparse path (mirrors ddpm/unet.py) --------------
+    def _extend_part(self, p, meta, edge):
+        if isinstance(p, WindowState):
+            return window_chain_extend(p.win, p.org, p.cache5, p.cache_id,
+                                       meta, edge)
+        return window_gather(p, meta, edge)
+
+    def _part_window(self, p, org, shape):
+        if isinstance(p, WindowState):
+            return p.win
+        zero = jnp.int32(0)
+        return jax.lax.dynamic_slice(
+            p, (zero, org[0], org[1], zero),
+            (p.shape[0], shape[0], shape[1], p.shape[3]))
+
+    def _chain_window(self, x, ctx: SIGECtx) -> "WindowState":
+        g = self.main_gather
+        meta = g.get_variable("sige", "win_in")
+        edge = g.get_variable("sige", "win_edge")
+        org = g.get_variable("sige", "win_org")
+        parts = x if isinstance(x, tuple) else (x,)
+
+        _, s1, b1 = self.norm1(None, ctx)
+        ext = jnp.concatenate(
+            [self._extend_part(p, meta, edge) for p in parts], axis=-1)
+        ext = window_epilogue(ext, edge, s1, b1, "swish")
+        h = self.conv1(ext, ctx)
+        _, s2, b2 = self.norm2(h, ctx)  # cached affine includes temb shift
+        h = self.sg(h, ctx, scale=s2, shift=b2)
+        h = self.conv2(h, ctx)
+
+        cache5 = self.join.get_variable("cache", "original")
+        res = cache5.shape[2:4]
+        _, cov = g.read_wsc(res)
+        WH, WW = cov.shape
+        xs = jnp.concatenate(
+            [self._part_window(p, org, (WH, WW)) for p in parts], axis=-1)
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        m = cov[None, :, :, None]
+        if self.channels != self.out_channels:
+            xs = self.skip(xs, ctx)
+            if self.shortcut_sparse:
+                # exact two-mask block-residual join (matches
+                # window_scatter_block_residual / the tile engine):
+                # out = where(m, main + y1, y0) + where(s, short - y1, 0)
+                _, cov_s = self.shortcut_gather.read_wsc(res)
+                y1w = window_slot_window(
+                    self.join.get_variable("cache", "residual"),
+                    ctx.cache_id, org, (WH, WW))
+                s = cov_s[None, :, :, None]
+                out = (jnp.where(m, h + y1w, y0w)
+                       + jnp.where(s, xs - y1w, jnp.zeros((), h.dtype)))
+                return WindowState(out, cache5, ctx.cache_id, org)
+        out = jnp.where(m, h + xs, y0w)
+        return WindowState(out, cache5, ctx.cache_id, org)
 
 
 class SIGECrossAttention(SIGEModule):
@@ -283,6 +384,34 @@ class _SelfAttention(nn.Module):
         src = x if context is None else context
         k, v = self.kv(src)
         return self.attend(x, k, v)
+
+    def attend_masked(self, x, ks, vs, kf, vf, bias_s, bias_f):
+        """Attention over [stale-full-map ++ fresh-window] K/V with
+        additive biases keeping exactly one token per spatial position
+        (stale where unedited, fresh where edited) — the exact token set
+        of a scatter-updated full map, without materializing it."""
+        inner = self.heads * self.dim_head
+        q = self.to_q(x)
+        sow_dense_macs(self, x, inner)
+        B, N, _ = q.shape
+        Ms, Mf = ks.shape[1], kf.shape[1]
+        nh, hd = self.heads, self.dim_head
+        qh = q.reshape(B, N, nh, hd)
+        sim_s = jnp.einsum("bnhd,bmhd->bhnm", qh,
+                           ks.reshape(B, Ms, nh, hd).astype(qh.dtype))
+        sim_f = jnp.einsum("bnhd,bmhd->bhnm", qh,
+                           kf.reshape(B, Mf, nh, hd))
+        sim = jnp.concatenate([sim_s, sim_f], axis=-1) * (hd ** -0.5)
+        bias = jnp.concatenate([bias_s, bias_f])[None, None, None, :]
+        attn = jax.nn.softmax(sim + bias.astype(sim.dtype), axis=-1)
+        out = (jnp.einsum("bhnm,bmhd->bnhd", attn[..., :Ms],
+                          vs.reshape(B, Ms, nh, hd).astype(attn.dtype))
+               + jnp.einsum("bhnm,bmhd->bnhd", attn[..., Ms:],
+                            vf.reshape(B, Mf, nh, hd)))
+        out = out.reshape(B, N, inner)
+        sow_macs(self, 2 * B * N * (Ms + Mf) * nh * hd)
+        sow_dense_macs(self, out, self.query_dim)
+        return self.to_out(out)
 
 
 class _GEGLUFeedForward(nn.Module):
@@ -383,7 +512,14 @@ class SIGESpatialTransformer(SIGEModule):
             self.scatter1 = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
             self.scatter2 = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
 
+    @nn.compact
     def __call__(self, x, ctx: SIGECtx, context=None):
+        if (ctx.mode == "sparse" and self.sparse_ok
+                and self.cfg.window_chain and not ctx.sparse_update
+                and self.gather.planned_window()
+                and self.has_variable("cache", "k1_0")):
+            return self._chain_window(x, ctx, context)
+        x = _to_map(x)
         B, H, W, C = x.shape
         x_in = x
         sparse = ctx.mode == "sparse"
@@ -417,10 +553,22 @@ class SIGESpatialTransformer(SIGEModule):
             full = self.scatter1(h, ctx)
             full_tok = full.reshape(B, H * W, self.inner)
 
-        for block, kv_sc in zip(
+        for i, (block, kv_sc) in enumerate(zip(
                 self.blocks,
-                self.kv_scatters if self.sparse_ok else [None] * self.depth):
-            if kv_cached and ctx.mode != "dense":
+                self.kv_scatters if self.sparse_ok else [None] * self.depth)):
+            if (self.sparse_ok and self.cfg.window_chain and not kv_cached
+                    and ctx.mode == "full"):
+                # cache this block's projected K/V token maps for the
+                # chain path's masked stale-K/V attention (exact:
+                # LayerNorm + projections are per-token)
+                n1 = block.norm1(tok)
+                kf, vf = block.attn1.kv(n1)
+                _slotted_cache(self, f"k1_{i}", kf, self.cfg.cache_slots,
+                               ctx.cache_id)
+                _slotted_cache(self, f"v1_{i}", vf, self.cfg.cache_slots,
+                               ctx.cache_id)
+                kv1 = (kf, vf)
+            elif kv_cached and ctx.mode != "dense":
                 # K/V over the FULL token map, from cache: the full pass
                 # projects all tokens and caches the maps; sparse passes
                 # project only the tile tokens and scatter them over the
@@ -449,6 +597,59 @@ class SIGESpatialTransformer(SIGEModule):
             return self.scatter2(h, ctx, residual=x_in)
         return h + x_in
 
+    def _chain_window(self, x, ctx: SIGECtx, context) -> "WindowState":
+        """Window-resident sparse path: per-token ops run on the carried
+        canonical window (the transformer gather is kernel-1, so its
+        extraction window IS the canonical window); self-attention stays
+        global via masked stale-K/V (see module docstring). No full map
+        is read or written."""
+        g = self.gather
+        cache5 = self.scatter2.get_variable("cache", "original")
+        res = cache5.shape[2:4]
+        org, cov = g.read_wsc(res)
+        WH, WW = cov.shape
+        if isinstance(x, WindowState):
+            xw = x.win
+        else:
+            zero = jnp.int32(0)
+            xw = jax.lax.dynamic_slice(
+                x, (zero, org[0], org[1], zero),
+                (x.shape[0], WH, WW, x.shape[3]))
+        B = xw.shape[0]
+        _, s, b = self.norm(None, ctx)
+        h = xw * s[:, None, None, :] + b[:, None, None, :]
+        h = self.proj_in(h, ctx)
+        tok = h.reshape(B, WH * WW, self.inner)
+
+        # additive biases selecting exactly one K/V token per position:
+        # stale (cached full-map) tokens masked where covered (fresh),
+        # fresh window tokens masked where uncovered
+        neg = jnp.float32(-1e9)
+        zero32 = jnp.float32(0.0)
+        bias_f = jnp.where(cov.reshape(-1), zero32, neg)
+        bias_s = jax.lax.dynamic_update_slice(
+            jnp.zeros(tuple(res), jnp.float32),
+            jnp.where(cov, neg, zero32), (org[0], org[1])).reshape(-1)
+
+        for i, block in enumerate(self.blocks):
+            n1 = block.norm1(tok)
+            kf, vf = block.attn1.kv(n1)
+            ks = _read_slot(self.get_variable("cache", f"k1_{i}"),
+                            ctx.cache_id)
+            vs = _read_slot(self.get_variable("cache", f"v1_{i}"),
+                            ctx.cache_id)
+            tok = block.attn1.attend_masked(
+                n1, ks, vs, kf, vf, bias_s, bias_f) + tok
+            tok = block.attn2(block.norm2(tok), ctx, context=context) + tok
+            tok = block.ff(block.norm3(tok)) + tok
+
+        h = tok.reshape(B, WH, WW, self.inner)
+        h = self.proj_out(h, ctx)
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        out = jnp.where(cov[None, :, :, None], (h + xw).astype(y0w.dtype),
+                        y0w)
+        return WindowState(out, cache5, ctx.cache_id, org)
+
 
 class SIGESDDownsample(SIGEModule):
     """Stride-2 conv, symmetric padding 1 (reference: sige_openaimodel.py:14-33)."""
@@ -468,6 +669,28 @@ class SIGESDDownsample(SIGEModule):
             self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
+        if (self.sparse_ok and ctx.mode == "sparse"
+                and self.g.planned_window()
+                and self.g.has_variable("sige", "wdn_ok")
+                and not ctx.sparse_update):
+            # window-resident across the downsample (see ddpm/unet.py):
+            # the stride-2 extraction window spans ~2x the coarse
+            # canonical window, which the planner's nesting (coarse
+            # covers fine/2 + halo) guarantees covers the carried window
+            meta = self.g.get_variable("sige", "win_in")
+            edge = self.g.get_variable("sige", "win_edge")
+            if isinstance(x, WindowState):
+                ext = window_chain_extend(x.win, x.org, x.cache5,
+                                          x.cache_id, meta, edge)
+            else:
+                ext = window_gather(x, meta, edge)
+            h = self.op(ext, ctx)
+            cache5 = self.s.get_variable("cache", "original")
+            org, cov = self.g.read_wsc(cache5.shape[2:4])
+            y0w = window_slot_window(cache5, ctx.cache_id, org, cov.shape)
+            out = jnp.where(cov[None, :, :, None], h.astype(y0w.dtype), y0w)
+            return WindowState(out, cache5, ctx.cache_id, org)
+        x = _to_map(x)
         if self.sparse_ok:
             x = self.g(x, ctx)
         x = self.op(x, ctx)
@@ -494,6 +717,25 @@ class SIGESDUpsample(SIGEModule):
             self.s = Scatter(gather=self.g, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
+        if (isinstance(x, WindowState) and self.sparse_ok
+                and self.g.planned_window()
+                and self.g.has_variable("sige", "wup_ok")
+                and not ctx.sparse_update):
+            # window-resident across the resample (see ddpm/unet.py): the
+            # doubled carried window covers the extraction window
+            win2 = jnp.repeat(jnp.repeat(x.win, 2, axis=1), 2, axis=2)
+            ext = window_chain_extend_up2(
+                win2, x.org * 2,
+                self.g.get_variable("sige", "win_in"),
+                self.g.get_variable("sige", "win_edge"))
+            h = self.conv(ext, ctx)
+            cache5 = self.s.get_variable("cache", "original")
+            org = self.g.get_variable("sige", "win_org")
+            _, cov = self.g.read_wsc(cache5.shape[2:4])
+            y0w = window_slot_window(cache5, ctx.cache_id, org, cov.shape)
+            out = jnp.where(cov[None, :, :, None], h.astype(y0w.dtype), y0w)
+            return WindowState(out, cache5, ctx.cache_id, org)
+        x = _to_map(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         if self.sparse_ok:
             x = self.g(x, ctx)
@@ -628,15 +870,19 @@ class SIGESDUNet(SIGEModule):
         h = self.mid_block2(h, emb, ctx)
 
         for mods, kinds in zip(self.out_blocks, self.out_kinds):
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            # skip join passed as a tuple: the window-chain sparse path
+            # extends both parts window-resident; other modes (and the
+            # resblock's non-chain paths) concatenate the maps
+            skip = hs.pop()
             for kind, mod in zip(kinds, mods):
                 if kind == "res":
-                    h = mod(h, emb, ctx)
+                    h = mod((h, skip), emb, ctx)
                 elif kind == "attn":
                     h = mod(h, ctx, context=context)
                 else:
                     h = mod(h, ctx)
 
+        h = _to_map(h)
         h, _, _ = group_norm_with_affine(
             h, cfg.num_groups, self.out_norm_scale, self.out_norm_bias, eps=1e-6)
         h = _swish(h)

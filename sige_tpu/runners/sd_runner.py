@@ -53,9 +53,12 @@ class SDRunner:
                  run_cfg: SDRunConfig = SDRunConfig(),
                  params: Optional[Dict] = None, seed: int = 0):
         self.unet_cfg, self.vae_cfg, self.run_cfg = unet_cfg, vae_cfg, run_cfg
-        # the UNet's 64^2 latent maps favor tiles; the VAE's image-res
-        # maps favor the contiguous window layout (measured on v5e)
-        self.unet = SIGEModel(SIGESDUNet(cfg=unet_cfg))
+        # hybrid window layout everywhere: window-resident chains at the
+        # fine levels (incl. masked stale-K/V transformers), tile
+        # execution where the canonical window would degenerate to the
+        # whole canvas (the planner's max_cover rule; SD UNet sparse
+        # 6.4 -> 5.5 ms on v5e vs pure tiles)
+        self.unet = SIGEModel(SIGESDUNet(cfg=unet_cfg), layout="window")
         self.encoder = SIGEModel(SIGEEncoder(cfg=vae_cfg), layout="window")
         self.decoder = SIGEModel(SIGEDecoder(cfg=vae_cfg), layout="window")
         self.sampler = SDDDIMSampler(

@@ -254,3 +254,45 @@ def test_chain_without_nesting_stays_exact():
     assert not any(k[-1] == "wup_ok" for k in flat), "wup_ok without nesting"
     sp = model.sparse(x, t)
     np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+
+def _sd_unet(chain: bool):
+    from sige_tpu.models.sd import SDUNetConfig, SIGESDUNet
+
+    cfg = SDUNetConfig(in_channels=4, model_channels=32, out_channels=4,
+                       num_res_blocks=1, attention_resolutions=(1, 2),
+                       channel_mult=(1, 2), num_heads=4, context_dim=16,
+                       num_groups=8, window_chain=chain)
+    model = SIGEModel(SIGESDUNet(cfg=cfg), layout="window", bucket_min=1)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4)).astype(np.float32))
+    t = jnp.full((2,), 5.0, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((2, 7, 16)).astype(np.float32))
+    model.init(jax.random.key(0), x, t, c)
+    return model, x, t, c
+
+
+@pytest.mark.parametrize("chain", [False, True])
+def test_sd_unet_chain_sparse_on_original_exact(chain):
+    """SD U-Net chains thread skips, resamples AND the transformers
+    (masked stale-K/V attention); sparse on the original input must
+    reproduce the full pass."""
+    model, x, t, c = _sd_unet(chain)
+    full = model.full(x, t, c)
+    model.set_masks(downsample_mask(_mask32(), min_res=8))
+    sp = model.sparse(x, t, c)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+
+def test_sd_unet_chain_matches_nonchain_on_edit():
+    """Masked stale-K/V attention selects the exact token set of the
+    non-chain path's scatter-updated map: chain and non-chain window
+    layouts must agree on an edited input, not just the original."""
+    outs = []
+    for chain in (False, True):
+        model, x, t, c = _sd_unet(chain)
+        model.full(x, t, c)
+        model.set_masks(downsample_mask(_mask32(), min_res=8))
+        xe = x.at[:, 12:16, 14:20].add(0.5)
+        outs.append(np.asarray(model.sparse(xe, t, c)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
