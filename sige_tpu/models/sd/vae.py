@@ -318,6 +318,11 @@ class SIGEVAEAttnBlock(SIGEModule):
             self.out_scatter = Scatter(gather=self.gather, cache_slots=cfg.cache_slots)
 
     def __call__(self, x, ctx: SIGECtx):
+        if (ctx.mode == "sparse" and self.sparse_ok
+                and self.cfg.window_chain and not ctx.sparse_update
+                and self.gather.planned_window()):
+            return self._chain_window(x, ctx)
+        x = _ensure_map(x)
         C = self.channels
         B = x.shape[0]
         sparse = ctx.mode == "sparse"
@@ -362,6 +367,60 @@ class SIGEVAEAttnBlock(SIGEModule):
         if self.sparse_ok:
             return self.out_scatter(out, ctx, residual=x)
         return out + x
+
+    def _chain_window(self, x, ctx: SIGECtx) -> "WindowState":
+        """Window-resident sparse path with masked stale-K/V attention
+        (see sd/unet.py): Q/K/V project only the carried canonical
+        window; the global K/V come from the k/v scatters' cached FULL
+        maps plus the fresh window, with additive -inf biases keeping
+        exactly one token per position. Replaces the k/v/out full-map
+        joins — no full map is read or written."""
+        g = self.gather
+        C = self.channels
+        cache5 = self.out_scatter.get_variable("cache", "original")
+        res = cache5.shape[2:4]
+        org, cov = g.read_wsc(res)
+        WH, WW = cov.shape
+        if isinstance(x, WindowState):
+            xw = x.win
+        else:
+            zero = jnp.int32(0)
+            xw = jax.lax.dynamic_slice(
+                x, (zero, org[0], org[1], zero),
+                (x.shape[0], WH, WW, x.shape[3]))
+        B = xw.shape[0]
+        _, s, b = self.norm(None, ctx)
+        h = xw * s[:, None, None, :] + b[:, None, None, :]
+        q = self.q(h, ctx)
+        kf = self.k(h, ctx).reshape(B, WH * WW, C)
+        vf = self.v(h, ctx).reshape(B, WH * WW, C)
+        ks = _read_slot(self.k_scatter.get_variable("cache", "original"),
+                        ctx.cache_id).reshape(B, -1, C)
+        vs = _read_slot(self.v_scatter.get_variable("cache", "original"),
+                        ctx.cache_id).reshape(B, -1, C)
+
+        neg = jnp.float32(-1e9)
+        zero32 = jnp.float32(0.0)
+        bias_f = jnp.where(cov.reshape(-1), zero32, neg)
+        bias_s = jax.lax.dynamic_update_slice(
+            jnp.zeros(tuple(res), jnp.float32),
+            jnp.where(cov, neg, zero32), (org[0], org[1])).reshape(-1)
+        bias = jnp.concatenate([bias_s, bias_f])[None, None, :]
+
+        qt = q.reshape(B, WH * WW, C)
+        Ms = ks.shape[1]
+        logits = jnp.concatenate(
+            [jnp.einsum("bqc,bkc->bqk", qt, ks.astype(qt.dtype)),
+             jnp.einsum("bqc,bkc->bqk", qt, kf)], axis=-1) * (C ** -0.5)
+        w = jax.nn.softmax(logits + bias.astype(logits.dtype), axis=-1)
+        out = (jnp.einsum("bqk,bkc->bqc", w[..., :Ms], vs.astype(w.dtype))
+               + jnp.einsum("bqk,bkc->bqc", w[..., Ms:], vf))
+        sow_macs(self, 2 * B * qt.shape[1] * (Ms + qt.shape[1]) * C)
+        out = self.proj_out(out.reshape(B, WH, WW, C), ctx)
+        y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))
+        res_win = jnp.where(cov[None, :, :, None],
+                            (out + xw).astype(y0w.dtype), y0w)
+        return WindowState(res_win, cache5, ctx.cache_id, org)
 
 
 class SIGEVAEDownsample(SIGEModule):
@@ -544,12 +603,10 @@ class SIGEEncoder(SIGEModule):
             for ib in range(cfg.num_res_blocks):
                 h = self.down_blocks[i][ib](h, ctx)
                 if self.down_attns[i]:
-                    h = _ensure_map(h)
                     h = self.down_attns[i][ib](h, ctx)
             if i != len(cfg.ch_mult) - 1:
                 h = self.downsamples[i](h, ctx)
         h = self.mid_block1(h, ctx)
-        h = _ensure_map(h)
         h = self.mid_attn(h, ctx)
         h = self.mid_block2(h, ctx)
         h = _ensure_map(h)
@@ -654,14 +711,12 @@ class SIGEDecoder(SIGEModule):
         cfg = self.cfg
         h = self.conv_in(z, ctx)
         h = self.mid_block1(h, ctx)
-        h = _ensure_map(h)
         h = self.mid_attn(h, ctx)
         h = self.mid_block2(h, ctx)
         for i in reversed(range(len(cfg.ch_mult))):
             for ib in range(cfg.num_res_blocks + 1):
                 h = self.up_blocks[i][ib](h, ctx)
                 if self.up_attns[i]:
-                    h = _ensure_map(h)
                     h = self.up_attns[i][ib](h, ctx)
             if i != 0:
                 # the upsample consumes WindowState directly (window

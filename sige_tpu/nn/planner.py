@@ -135,22 +135,32 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
     if consumed is not None:
         masks = {res: m for res, m in masks.items() if res in consumed}
     reses = sorted(masks.keys())
+
+    def _mult(res):
+        # finer bucketing at small canvases: a fixed 16-multiple window
+        # is the WHOLE canvas at 16^2 and a quarter of it at 32^2 — on
+        # deep pyramids that recomputes the channel-heaviest levels
+        # nearly densely. Granularity only costs extra program variants
+        # (origin is a device scalar; size changes retrace), and small
+        # canvases have few variants anyway.
+        return mult if min(res) >= 64 else 4
+
     lo: Dict[IntPair, list] = {
-        res: list(_mask_bounds(np.asarray(masks[res], bool), mult))
+        res: list(_mask_bounds(np.asarray(masks[res], bool), _mult(res)))
         for res in reses}
     if max_cover < 1.0:
         def _cover(res):
             r_lo, r_hi, c_lo, c_hi = lo[res]
-            _, wh = _fit_window(r_lo, r_hi, res[0], mult)
-            _, ww = _fit_window(c_lo, c_hi, res[1], mult)
+            _, wh = _fit_window(r_lo, r_hi, res[0], _mult(res))
+            _, ww = _fit_window(c_lo, c_hi, res[1], _mult(res))
             return (wh * ww) / float(res[0] * res[1])
         reses = [res for res in reses if _cover(res) <= max_cover]
         lo = {res: lo[res] for res in reses}
 
     def fit(res):
         r_lo, r_hi, c_lo, c_hi = lo[res]
-        r0, wh = _fit_window(r_lo, r_hi, res[0], mult)
-        c0, ww = _fit_window(c_lo, c_hi, res[1], mult)
+        r0, wh = _fit_window(r_lo, r_hi, res[0], _mult(res))
+        c0, ww = _fit_window(c_lo, c_hi, res[1], _mult(res))
         return (r0, c0, wh, ww)
 
     def grow(res, r_lo, r_hi, c_lo, c_hi) -> bool:

@@ -14,6 +14,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin registers a backend factory at interpreter start
+# (sitecustomize imports jax, so JAX_PLATFORMS is already bound) and
+# initializes even when tests only want CPU; when its relay tunnel is
+# down the first jax.devices() call blocks forever. Tests are CPU-only
+# by design — deregister the factory and repin jax_platforms before any
+# backend initializes so the suite never depends on the tunnel's health.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -112,6 +112,30 @@ def test_encoder_chain_matches_nonchain_on_edit():
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
 
 
+def test_decoder_mid_attn_takes_chain_path(monkeypatch):
+    """The VAE mid attention must run its window-resident masked
+    stale-K/V form under window chains (no full-map k/v/out joins) —
+    and stay exact on the original input. Guards against the chain
+    gate silently failing closed (which would still be numerically
+    correct but reintroduce the scatter joins)."""
+    import sige_tpu.models.sd.vae as vae_mod
+
+    calls = []
+    orig = vae_mod.SIGEVAEAttnBlock._chain_window
+
+    def spy(self, x, ctx):
+        calls.append(type(x).__name__)
+        return orig(self, x, ctx)
+
+    monkeypatch.setattr(vae_mod.SIGEVAEAttnBlock, "_chain_window", spy)
+    model, z = _decoder(True)
+    full = model.full(z)
+    model.set_masks(downsample_mask(_mask64(), min_res=4))
+    sp = model.sparse(z)
+    assert calls and all(c == "WindowState" for c in calls), calls
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+
 DDPM_TINY = None  # built lazily to avoid import cost at collection
 
 
