@@ -141,7 +141,7 @@ def build_sg_sources(
     return sg_src, flat
 
 
-def bbox_of_map(m: np.ndarray, mult: int = 32):
+def bbox_of_map(m: np.ndarray, mult: int = 32, size=None):
     """Crop a source map to the bounding box of its covered (>= 0) pixels.
 
     Returns ``(origin, box)`` with ``origin`` int32[2] = (r0, c0) and
@@ -150,22 +150,37 @@ def bbox_of_map(m: np.ndarray, mult: int = 32):
     edits of similar size reuse the compiled program; the *origin* ships
     as a device scalar, so moving an edit never retraces) and clamped to
     the map. An empty map yields a minimal all-(-1) box.
+
+    ``size`` pins (BH, BW) explicitly (clamped to the map) — batching
+    plans across sessions and exact program reuse across edits both need
+    the box *shape* to be identical even when the covered extents differ.
+    Raises ValueError when the covered extent outgrows a pinned size (the
+    caller falls back to a fresh bucket). Area a pinned box covers beyond
+    the tight bbox is all -1 (keep-cached), which the scatter forms
+    already treat as a no-op.
     """
     H, W = m.shape
     cov = m >= 0
     rows = np.flatnonzero(cov.any(axis=1))
     cols = np.flatnonzero(cov.any(axis=0))
-
-    def fit(lo, hi, limit):
-        size = min(-(-(hi - lo) // mult) * mult, limit)
-        return min(int(lo), limit - size), size
-
     if rows.size == 0:
-        r0, bh = 0, min(mult, H)
-        c0, bw = 0, min(mult, W)
+        r_lo = r_hi = c_lo = c_hi = 0
     else:
-        r0, bh = fit(rows[0], rows[-1] + 1, H)
-        c0, bw = fit(cols[0], cols[-1] + 1, W)
+        r_lo, r_hi = int(rows[0]), int(rows[-1]) + 1
+        c_lo, c_hi = int(cols[0]), int(cols[-1]) + 1
+
+    def fit(lo, hi, limit, forced):
+        if forced is not None:
+            s = min(int(forced), limit)
+            if hi - lo > s:
+                raise ValueError(
+                    f"bbox extent {hi - lo} exceeds pinned box size {s}")
+        else:
+            s = min(max(-(-(hi - lo) // mult) * mult, mult), limit)
+        return min(lo, limit - s), s
+
+    r0, bh = fit(r_lo, r_hi, H, size[0] if size is not None else None)
+    c0, bw = fit(c_lo, c_hi, W, size[1] if size is not None else None)
     origin = np.array([r0, c0], np.int32)
     return origin, np.ascontiguousarray(m[r0:r0 + bh, c0:c0 + bw])
 

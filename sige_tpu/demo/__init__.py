@@ -1,6 +1,6 @@
 """Interactive editing demo (the reference's PyQt app, reimplemented as a
 zero-dependency web UI; reference: diffusion_demo/)."""
 
-from .runner import DemoRunner
+from .runner import DemoRunner, MultiSessionDemoRunner
 
-__all__ = ["DemoRunner"]
+__all__ = ["DemoRunner", "MultiSessionDemoRunner"]

@@ -141,6 +141,161 @@ class DemoRunner:
         return inverse_data_transform(np.asarray(out[0]), True)
 
 
+class MultiSessionDemoRunner:
+    """S concurrent editing sessions on one device mesh, each with its
+    OWN base image, noise, per-step cache slots and edit plan.
+
+    The reference demo serves one user per process (diffusion_demo/
+    start.py); here sessions are a batch axis: per-session plans stack
+    via :class:`sige_tpu.parallel.PlanStack`, the sparse trajectory is
+    ONE vmapped scan program, and the session axis is dp-sharded over
+    the mesh — on a pod slice each session's trajectory runs on its own
+    chips, so one user's generate does not queue behind another's. On a
+    single chip the batched step still amortizes dispatch across users.
+
+    ``sparse_update`` commits ONLY the requesting session's caches: the
+    vmapped program necessarily runs every session, so the other rows'
+    mutated caches are discarded by an indexed select.
+    """
+
+    def __init__(self, num_sessions: int, model_cfg=None, mesh=None,
+                 **kwargs):
+        from ..parallel import PlanStack, make_mesh
+
+        self.inner = DemoRunner(model_cfg, **kwargs)
+        self.S = int(num_sessions)
+        if mesh is None:
+            # dp = as many devices as divide the session count evenly
+            import math
+
+            import jax as _jax
+
+            mesh = make_mesh(math.gcd(self.S, len(_jax.devices())), tp=1)
+        assert self.S % mesh.shape["dp"] == 0, (
+            f"{self.S} sessions over dp={mesh.shape['dp']}")
+        self.mesh = mesh
+        self._PlanStack = PlanStack
+        self.cache = None          # stacked [S, ...]
+        self.base_x0 = None        # [S, 1, R, R, C]
+        self.base_e = None
+        self.last_x1 = None        # each session's latest edited input
+        self.masks = None          # [S, R, R] bool
+        self._stack = None
+        self._plan_src = None
+        self._plan_dev = None
+
+        inner = self.inner
+        if inner.sampler_type == "dpm_solver":
+            def sparse_one(params, plan, cache, xt, mask, gt_x0, gt_e, upd):
+                return _dpm_demo_trajectory(
+                    inner.module, inner.sampler, params, plan, cache, xt,
+                    tuple(int(s) for s in inner.seq), mode="sparse",
+                    mask=mask, gt_x0=gt_x0, gt_e=gt_e, sparse_update=upd)
+        else:
+            def sparse_one(params, plan, cache, xt, mask, gt_x0, gt_e, upd):
+                return _sparse_trajectory(
+                    inner.module, inner.sampler, params, plan, cache, xt,
+                    inner._steps, mask, gt_x0, gt_e, upd)
+        # params/static broadcast; (plan, cache, xt, mask, gt_x0, gt_e)
+        # carry the session axis
+        self._vsparse = {
+            upd: jax.jit(jax.vmap(
+                lambda p, pl, c, x, m, g0, ge, _u=upd: sparse_one(
+                    p, pl, c, x, m, g0, ge, _u),
+                in_axes=(None, 0, 0, 0, 0, 0, 0)))
+            for upd in (False, True)
+        }
+
+    def _shard(self, tree):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(tree, NamedSharding(self.mesh, P("dp")))
+
+    @property
+    def _R(self):
+        return self.inner.model_cfg.resolution
+
+    def reset_base_image(self, i: int, image: np.ndarray,
+                         seed: int = 0) -> np.ndarray:
+        """Full sampling run of session ``i``'s base image (unvmapped —
+        resets are rare and per-session), slotting its caches into the
+        stacked state."""
+        inner, R, S = self.inner, self._R, self.S
+        out = inner.reset_base_image(image, seed=seed)
+        if self._stack is None:
+            meta_host = jax.device_get(
+                jax.tree.map(np.asarray, inner.model.meta))
+            self._stack = self._PlanStack(meta_host, S,
+                                          inner.model.bucket_min)
+            min_res = R // (2 ** (len(inner.model_cfg.ch_mult) - 1))
+            empty = downsample_mask(np.zeros((R, R), bool), min_res=min_res)
+            for j in range(S):
+                self._stack.set(j, empty)
+        if self.cache is None:
+            # first reset seeds every session (blank sessions have empty
+            # masks, so their rows are inert until their own reset)
+            tile = lambda a: jnp.broadcast_to(a[None], (S,) + a.shape)
+            self.cache = self._shard(jax.tree.map(tile, inner.model.cache))
+            self.base_x0 = tile(inner.base_x0)
+            self.base_e = tile(inner.base_e)
+            self.last_x1 = self.base_x0
+            self.masks = jnp.zeros((S, R, R), bool)
+        else:
+            upd = lambda st, new: st.at[i].set(new)
+            self.cache = jax.tree.map(upd, self.cache, inner.model.cache)
+            self.base_x0 = self.base_x0.at[i].set(inner.base_x0)
+            self.base_e = self.base_e.at[i].set(inner.base_e)
+            self.last_x1 = self.last_x1.at[i].set(inner.base_x0)
+            self.masks = self.masks.at[i].set(False)
+            min_res = R // (2 ** (len(inner.model_cfg.ch_mult) - 1))
+            self._stack.set(i, downsample_mask(np.zeros((R, R), bool),
+                                               min_res=min_res))
+        return out
+
+    def generate(self, i: int, edited: np.ndarray,
+                 sparse_update: bool = False) -> np.ndarray:
+        """Sparse-only conversion of session ``i``'s edit; every other
+        session rides along at its last edit (their outputs and — under
+        ``sparse_update`` — cache mutations are discarded)."""
+        assert self.cache is not None, "reset_base_image first"
+        inner, R = self.inner, self._R
+        x1 = jnp.asarray(data_transform(
+            np.asarray(edited, np.float32).reshape(1, R, R, -1), True))
+        base_i = np.asarray(self.base_x0[i])
+        mask = compute_difference_mask(base_i, np.asarray(x1), eps=1e-2)
+        if not mask.any():
+            return inverse_data_transform(base_i[0], True)
+        mask = dilate_mask(mask, inner.mask_dilate_radius)
+        min_res = R // (2 ** (len(inner.model_cfg.ch_mult) - 1))
+        self._stack.set(i, downsample_mask(mask, min_res=min_res))
+        self.last_x1 = self.last_x1.at[i].set(x1)
+        self.masks = self.masks.at[i].set(jnp.asarray(mask))
+
+        host = self._stack.stacked()
+        if host is not self._plan_src:
+            self._plan_src = host
+            self._plan_dev = self._shard(host)
+        xts = inner.sampler.q_sample(self.last_x1,
+                                     jnp.int32(inner.seq[-1]), self.base_e)
+        with self.mesh:
+            out, cache = self._vsparse[sparse_update](
+                inner.model.params, self._plan_dev, self.cache,
+                self._shard(xts), self._shard(self.masks),
+                self.base_x0, self.base_e)
+        if sparse_update:
+            # commit ONLY session i's caches; other rows ran with their
+            # stale last edit and must keep their previous state
+            sel = jnp.arange(self.S) == i
+
+            def pick(old, new):
+                s = sel.reshape((self.S,) + (1,) * (new.ndim - 1))
+                return jnp.where(s, new, old)
+
+            self.cache = jax.tree.map(pick, self.cache, cache)
+            self.base_x0 = self.base_x0.at[i].set(x1)
+        return inverse_data_transform(np.asarray(out[i, 0]), True)
+
+
 @partial(jax.jit, static_argnames=("module", "sampler"))
 def _full_trajectory(module, sampler, params, cache, xt, steps):
     """Full-mode DDIM trajectory, slot i <- step i's caches/affines."""

@@ -26,7 +26,7 @@ PAGE = """<!DOCTYPE html>
 body{font-family:sans-serif;margin:20px} canvas{border:1px solid #888;
 image-rendering:pixelated;width:512px;height:512px} .row{display:flex;gap:16px}
 button{margin:4px;padding:6px 14px}</style></head><body>
-<h2>sige-tpu interactive editing</h2>
+<h2>sige-tpu interactive editing <span id="sess"></span></h2>
 <div class="row">
  <div><h4>paint</h4><canvas id="edit"></canvas></div>
  <div><h4>generated</h4><canvas id="out"></canvas></div>
@@ -50,6 +50,12 @@ button{margin:4px;padding:6px 14px}</style></head><body>
 </div>
 <script>
 const R = %RES%;
+// multi-user: /?session=N addresses one of the server's dp-sharded
+// sessions (each has its own base image, caches and edit plan)
+const SESSION = parseInt(new URLSearchParams(location.search)
+                         .get('session') || '0', 10);
+if (SESSION) document.getElementById('sess').textContent =
+    '(session ' + SESSION + ')';
 const ec = document.getElementById('edit'), oc = document.getElementById('out');
 ec.width = ec.height = oc.width = oc.height = R;
 const ectx = ec.getContext('2d'), octx = oc.getContext('2d');
@@ -147,14 +153,14 @@ async function post(path, body){
   return js;
 }
 async function send(path){
-  const js = await post(path, {image: ec.toDataURL()});
+  const js = await post(path, {image: ec.toDataURL(), session: SESSION});
   const img = new Image();
   img.onload = () => octx.drawImage(img, 0, 0);
   img.src = js.image;
   if (path === '/apply') { /* edited becomes the new baseline */ }
 }
 async function reset(){
-  const js = await post('/reset', {});
+  const js = await post('/reset', {session: SESSION});
   const img = new Image();
   img.onload = () => {
     ectx.drawImage(img, 0, 0); octx.drawImage(img, 0, 0); baseImg = img;
@@ -201,8 +207,11 @@ def _array_to_data_url(arr: np.ndarray, alpha: np.ndarray = None) -> str:
     return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
 
 
-def make_handler(runner, base_image: np.ndarray, resolution: int):
+def make_handler(runner, base_image: np.ndarray, resolution: int,
+                 sessions: int = 1):
     import time
+
+    multi = sessions > 1
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, obj, code=200, ctype="application/json"):
@@ -231,13 +240,21 @@ def make_handler(runner, base_image: np.ndarray, resolution: int):
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")
             t0 = time.perf_counter()
+            sid = int(payload.get("session", 0))
+            if not 0 <= sid < sessions:
+                self._send({"error": f"session {sid} out of range "
+                                     f"(0..{sessions - 1})"}, code=400)
+                return
             if self.path == "/reset":
-                out = runner.reset_base_image(base_image)
+                out = (runner.reset_base_image(sid, base_image) if multi
+                       else runner.reset_base_image(base_image))
                 self._send({"base": _array_to_data_url(out),
                             "ms": (time.perf_counter() - t0) * 1e3})
                 return
             edited = _png_to_array(payload["image"], resolution)
-            out = runner.generate(edited, sparse_update=self.path == "/apply")
+            upd = self.path == "/apply"
+            out = (runner.generate(sid, edited, sparse_update=upd) if multi
+                   else runner.generate(edited, sparse_update=upd))
             self._send({"image": _array_to_data_url(out),
                         "ms": (time.perf_counter() - t0) * 1e3})
 
@@ -259,6 +276,9 @@ def main():
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight model for smoke testing")
     p.add_argument("--restore_from", type=str, default=None)
+    p.add_argument("--sessions", type=int, default=1,
+                   help="concurrent editing sessions (dp-sharded; open "
+                        "/?session=N per user)")
     args = p.parse_args()
 
     from ..utils import enable_compilation_cache
@@ -294,9 +314,14 @@ def main():
         params = convert_ddpm_fused_unet(
             load_torch_state_dict(restore), cfg.ch_mult,
             cfg.num_res_blocks, cfg.attn_resolutions, cfg.resolution)
-    runner = DemoRunner(cfg, sample_steps=args.sample_steps, params=params,
-                        bucket_min=1 if args.tiny else 8,
-                        sampler_type=args.sampler)
+    kw = dict(sample_steps=args.sample_steps, params=params,
+              bucket_min=1 if args.tiny else 8, sampler_type=args.sampler)
+    if args.sessions > 1:
+        from .runner import MultiSessionDemoRunner
+
+        runner = MultiSessionDemoRunner(args.sessions, cfg, **kw)
+    else:
+        runner = DemoRunner(cfg, **kw)
 
     if args.image:
         from ..data import load_image
@@ -307,7 +332,8 @@ def main():
         base = rng.random((R, R, 3)).astype(np.float32)
 
     server = HTTPServer(("0.0.0.0", args.port),
-                        make_handler(runner, base, R))
+                        make_handler(runner, base, R,
+                                     sessions=args.sessions))
     print(f"sige-tpu demo on http://localhost:{args.port}")
     server.serve_forever()
 

@@ -174,22 +174,18 @@ class SIGEModel:
         return jtu.tree_unflatten(treedef, reuse)
 
     def pin_capacities(self) -> Dict:
-        """Freeze every tile buffer's capacity at its current planned size
-        so subsequent ``set_masks`` calls with smaller edits reuse the
-        compiled sparse program (and most device-resident plan arrays)
-        instead of recompiling per bucket change. Returns the pin map;
-        call after planning a representative (largest expected) edit.
-        Tile layout only — window layouts bucket their own extents."""
-        def walk(node, path=()):
-            for name, sub in node.items():
-                if isinstance(sub, Mapping) and "indices" in sub:
-                    self.capacities[path + (name,)] = int(
-                        np.asarray(sub["indices"]).shape[0])
-                elif isinstance(sub, Mapping):
-                    walk(sub, path + (name,))
+        """Freeze every tile buffer's capacity AND bbox-cropped source-map
+        shape at its current planned size so subsequent ``set_masks``
+        calls with smaller edits reuse the compiled sparse program (and
+        most device-resident plan arrays) instead of recompiling per
+        bucket change. Returns the pin map; call after planning a
+        representative (largest expected) edit. Tile layout only —
+        window layouts bucket their own extents."""
+        from .planner import plan_pins
+
         if self._plan_host is None:
             raise RuntimeError("call set_masks() before pin_capacities()")
-        walk(self._plan_host)
+        self.capacities.update(plan_pins(self._plan_host))
         return dict(self.capacities)
 
     def sparse(self, *args, cache_id: int = 0, sparse_update: bool = False,

@@ -288,12 +288,26 @@ def build_plan(
             # gather throughput costs ~a dense conv at 256^2 (see
             # ops/scatter.py scatter_tiles_box); box shape is bucketed so
             # similar edits reuse compiled programs.
-            for ores in _reses("scatter_res"):
-                okey = ("srcmap", res, geom, cap, ores)
+            def _pinned_bbox(okey, kind, ores, build):
+                # box-shape pin: keyed like the capacity pins
+                # (path + (leaf name,)); an edit that outgrows its pin
+                # falls back to a fresh bucket (one recompile) — callers
+                # that stack plans across sessions detect the resulting
+                # shape drift and re-pin (parallel/serving.SessionServer)
+                pin = (capacities or {}).get(
+                    path + (f"{kind}_{ores[0]}x{ores[1]}",))
+                okey = okey + (pin,)
                 if okey not in _memo:
-                    _memo[okey] = bbox_of_map(
-                        build_src_map(indices, count, geom, ores))
-                org, box = _memo[okey]
+                    try:
+                        _memo[okey] = bbox_of_map(build(), size=pin)
+                    except ValueError:
+                        _memo[okey] = bbox_of_map(build())
+                return _memo[okey]
+
+            for ores in _reses("scatter_res"):
+                org, box = _pinned_bbox(
+                    ("srcmap", res, geom, cap, ores), "srcbox", ores,
+                    lambda: build_src_map(indices, count, geom, ores))
                 entry[f"srcbox_{ores[0]}x{ores[1]}"] = box
                 entry[f"srcorg_{ores[0]}x{ores[1]}"] = org
             for ores in _reses("sg_res"):
@@ -303,11 +317,10 @@ def build_plan(
                 entry[f"sgsrc_{ores[0]}x{ores[1]}"] = _memo[okey][0]
                 entry[f"sgflat_{ores[0]}x{ores[1]}"] = _memo[okey][1]
             for ores in _reses("pixsrc_res"):
-                okey = ("pixsrc", res, geom, cap, ores)
-                if okey not in _memo:
-                    _memo[okey] = bbox_of_map(build_src_map(
+                org, box = _pinned_bbox(
+                    ("pixsrc", res, geom, cap, ores), "pixbox", ores,
+                    lambda: build_src_map(
                         indices, count, gather_position_geom(geom), ores))
-                org, box = _memo[okey]
                 entry[f"pixbox_{ores[0]}x{ores[1]}"] = box
                 entry[f"pixorg_{ores[0]}x{ores[1]}"] = org
             plan[name] = entry
@@ -407,6 +420,42 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
         entry[f"wsg_in_{gres[0]}x{gres[1]}"] = meta2
         entry[f"wsg_edge_{gres[0]}x{gres[1]}"] = edge2
         entry[f"wsg_cov_{gres[0]}x{gres[1]}"] = cov
+
+
+def plan_pins(plan: Mapping, _path: Tuple = ()) -> Dict[Tuple, object]:
+    """Shape pins of a built (host) plan: {gather path: tile capacity}
+    plus {path + (box leaf name,): (BH, BW)} for every bbox-cropped
+    source map. Feeding these back to :func:`build_plan` as
+    ``capacities`` makes a later plan (a different edit, or another
+    session's mask) reproduce exactly these leaf shapes — the compiled
+    sparse program and cross-session plan stacking both key on them."""
+    pins: Dict[Tuple, object] = {}
+    for name, sub in plan.items():
+        if isinstance(sub, Mapping) and "indices" in sub:
+            p = _path + (name,)
+            pins[p] = int(np.asarray(sub["indices"]).shape[0])
+            for k, v in sub.items():
+                if k.startswith(("srcbox_", "pixbox_")):
+                    pins[p + (k,)] = tuple(np.asarray(v).shape)
+        elif isinstance(sub, Mapping):
+            pins.update(plan_pins(sub, _path + (name,)))
+    return pins
+
+
+def merge_pins(*pin_maps: Mapping) -> Dict[Tuple, object]:
+    """Elementwise max over pin maps (ints and shape tuples alike) — the
+    smallest single pinning that fits every constituent plan."""
+    out: Dict[Tuple, object] = {}
+    for pins in pin_maps:
+        for k, v in pins.items():
+            prev = out.get(k)
+            if prev is None:
+                out[k] = v
+            elif isinstance(v, tuple):
+                out[k] = tuple(max(a, b) for a, b in zip(prev, v))
+            else:
+                out[k] = max(prev, v)
+    return out
 
 
 def choose_layout(masks: Mapping[IntPair, np.ndarray],

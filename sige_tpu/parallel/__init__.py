@@ -2,7 +2,7 @@
 single-request spatial parallelism."""
 
 from .mesh import make_mesh, replicate, shard_batch, shard_cache, shard_model
-from .serving import TwinStepServer
+from .serving import PlanStack, SessionServer, TwinStepServer
 from .spatial import make_spatial_mesh, row_sharding, spatial_apply
 
 __all__ = [
@@ -11,6 +11,8 @@ __all__ = [
     "shard_batch",
     "shard_cache",
     "shard_model",
+    "PlanStack",
+    "SessionServer",
     "TwinStepServer",
     "make_spatial_mesh",
     "row_sharding",

@@ -1,10 +1,13 @@
-"""Multi-chip serving: batched twin-step execution.
+"""Multi-chip serving: batched twin-step execution and per-session plans.
 
-Serves B independent edit requests per step over a (dp, tp) mesh: the
-full pass on each request's original trajectory refreshes its cache shard,
-the sparse pass runs the edits. One plan (mask) is shared per microbatch —
-the identical-mask batching regime (e.g. inpainting with a fixed template,
-or per-mask request queues).
+``TwinStepServer`` serves B independent edit requests per step over a
+(dp, tp) mesh: the full pass on each request's original trajectory
+refreshes its cache shard, the sparse pass runs the edits. One plan
+(mask) is shared per microbatch — the identical-mask batching regime
+(e.g. inpainting with a fixed template, or per-mask request queues).
+
+``SessionServer`` lifts that restriction: each session carries its OWN
+mask/plan — the multi-user interactive-editing regime.
 """
 
 from __future__ import annotations
@@ -12,8 +15,11 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..nn.module import SIGECtx
+from ..nn.planner import build_plan, merge_pins, plan_pins
 from .mesh import make_mesh, replicate, shard_batch, shard_cache
 
 
@@ -61,3 +67,156 @@ class TwinStepServer:
                 shard_batch(self.mesh, x_edit), t)
         self.cache = cache
         return y0, y1
+
+
+class PlanStack:
+    """Per-session host plans with shared shape pins, stacked on a
+    leading session axis.
+
+    Tile layout with pinned tile capacities AND pinned box shapes
+    (:func:`sige_tpu.nn.planner.plan_pins`) keeps every plan leaf's
+    shape identical across sessions, so S independent edit plans stack
+    into one batched pytree a vmapped sparse program consumes. A
+    session whose edit outgrows the pins triggers a re-pin to the
+    merged maximum and one rebuild of every plan (a single recompile,
+    after which the larger pins fit everyone again).
+
+    Tile layout only: window layouts make the window extents themselves
+    compile-time shapes, which would have to be pinned to the worst case
+    across sessions anyway — that worst case IS the tile capacity model.
+    ``stacked()`` returns the SAME object until a ``set()`` invalidates
+    it, so callers can key device uploads on identity."""
+
+    def __init__(self, meta_host, num_sessions: int, bucket_min: int = 2):
+        self.meta = meta_host
+        self.bucket_min = bucket_min
+        self.masks = [None] * num_sessions
+        self.plans = [None] * num_sessions
+        self.pins = {}
+        self._stacked = None
+
+    def _build(self, masks):
+        return build_plan(self.meta, masks, self.bucket_min, self.pins,
+                          layout="tiles", chain_nesting=False)
+
+    def set(self, i: int, masks) -> None:
+        self.masks[i] = masks
+        self.plans[i] = self._build(masks)
+        self._stacked = None
+
+    def stacked(self):
+        if self._stacked is not None:
+            return self._stacked
+        missing = [i for i, p in enumerate(self.plans) if p is None]
+        if missing:
+            raise RuntimeError(f"set_masks() missing for sessions {missing}")
+        try:
+            self._stacked = jax.tree.map(lambda *ls: np.stack(ls),
+                                         *self.plans)
+        except ValueError:
+            self.pins = merge_pins(*(plan_pins(p) for p in self.plans))
+            self.plans = [self._build(m) for m in self.masks]
+            self._stacked = jax.tree.map(lambda *ls: np.stack(ls),
+                                         *self.plans)
+        return self._stacked
+
+
+class SessionServer:
+    """S concurrent editing sessions, each with its OWN mask — the
+    multi-user regime (the reference demo is one user per process;
+    ``TwinStepServer`` shares one mask per microbatch).
+
+    TPU-native design: sessions are a batch axis. Per-session plan
+    arrays stack on a leading session axis (:class:`PlanStack`) and the
+    sparse step is ONE compiled program: params broadcast, (cache,
+    plan, input) vmapped, the session axis dp-sharded over the mesh —
+    on a pod slice each session's step runs on its own chips, so one
+    user's request does not queue behind another's.
+    """
+
+    def __init__(self, module, params, mesh=None, bucket_min: int = 2):
+        self.module = module
+        self.mesh = mesh if mesh is not None else make_mesh(tp=1)
+        self.params = replicate(self.mesh, params)
+        self.bucket_min = bucket_min
+        self.cache = None
+        self.num_sessions = None
+        self._meta_host = None
+        self._stack = None      # PlanStack (after prime)
+        self._plan_src = None   # host tree the device plan was built from
+        self._plan_dev = None
+
+        def full_one(params, x, args):
+            _, mut = module.apply(
+                {"params": params, "cache": {}}, x, *args,
+                ctx=SIGECtx(mode="full"), mutable=["cache", "meta"])
+            return mut["cache"], mut["meta"]
+
+        def sparse_one(params, cache, plan, x, args):
+            return module.apply(
+                {"params": params, "cache": cache, "sige": plan},
+                x, *args, ctx=SIGECtx(mode="sparse"))
+
+        def update_one(params, cache, plan, x, args):
+            y, mut = module.apply(
+                {"params": params, "cache": cache, "sige": plan},
+                x, *args, ctx=SIGECtx(mode="sparse", sparse_update=True),
+                mutable=["cache"])
+            return y, mut["cache"]
+
+        self._vfull = jax.jit(jax.vmap(full_one, in_axes=(None, 0, 0)))
+        self._vsparse = jax.jit(
+            jax.vmap(sparse_one, in_axes=(None, 0, 0, 0, 0)))
+        self._vupdate = jax.jit(
+            jax.vmap(update_one, in_axes=(None, 0, 0, 0, 0)))
+
+    def _shard(self, tree):
+        """Leading axis = session axis, sharded over dp."""
+        return jax.device_put(tree, NamedSharding(self.mesh, P("dp")))
+
+    def prime(self, x_sessions, *args):
+        """One vmapped full pass on every session's original input
+        ([S, B, ...]; extra model args lead with S too): fills the
+        per-session caches and records the planning metadata."""
+        S = int(x_sessions.shape[0])
+        assert S % self.mesh.shape["dp"] == 0, (
+            f"{S} sessions over dp={self.mesh.shape['dp']}")
+        self.num_sessions = S
+        with self.mesh:
+            cache, meta = self._vfull(
+                self.params, self._shard(x_sessions),
+                tuple(self._shard(a) for a in args))
+        self.cache = cache
+        if self._meta_host is None:
+            # metadata depends only on shapes — identical across sessions
+            self._meta_host = jax.tree.map(
+                lambda a: np.asarray(a)[0], jax.device_get(meta))
+        self._stack = PlanStack(self._meta_host, S, self.bucket_min)
+
+    def set_masks(self, i: int, masks) -> None:
+        """Host planning for session ``i``'s edit mask pyramid."""
+        if self._stack is None:
+            raise RuntimeError("prime() before set_masks()")
+        self._stack.set(i, masks)
+
+    def _stacked_plan(self):
+        host = self._stack.stacked()
+        if host is not self._plan_src:
+            self._plan_src = host
+            self._plan_dev = self._shard(host)
+        return self._plan_dev
+
+    def step(self, x_edit, *args, sparse_update: bool = False):
+        """One sparse step for every session ([S, B, ...] in and out).
+        ``sparse_update=True`` commits the edits into the caches (the
+        demo's "apply")."""
+        plan = self._stacked_plan()
+        xs = self._shard(x_edit)
+        argss = tuple(self._shard(a) for a in args)
+        with self.mesh:
+            if sparse_update:
+                y, cache = self._vupdate(self.params, self.cache, plan,
+                                         xs, argss)
+                self.cache = cache
+                return y
+            return self._vsparse(self.params, self.cache, plan, xs, argss)

@@ -87,6 +87,56 @@ def test_reset_generate_apply_flow(server):
     assert np.mean(np.abs(out - want)) < 0.02  # png quantization only
 
 
+def test_multi_session_http_flow():
+    """--sessions N over HTTP: two users with different bases and edits,
+    addressed via the payload's session id; one user's apply must not
+    leak into the other's state."""
+    from sige_tpu.demo.runner import MultiSessionDemoRunner
+
+    runner = MultiSessionDemoRunner(2, TINY, sample_steps=4, noise_level=40,
+                                    total_steps=100, mask_dilate_radius=2,
+                                    bucket_min=1)
+    rng = np.random.default_rng(5)
+    base = rng.random((R, R, 3)).astype(np.float32)
+    httpd = HTTPServer(("127.0.0.1", 0),
+                       make_handler(runner, base, R, sessions=2))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        for sid in (0, 1):
+            js = _post(url + "/reset", {"session": sid})
+            assert js["base"].startswith("data:image/png")
+
+        e0, e1 = base.copy(), base.copy()
+        e0[4:12, 6:14] = 0.9
+        e1[20:28, 2:26] = 0.1
+        js0 = _post(url + "/generate", {"image": _data_url(e0), "session": 0})
+        js1 = _post(url + "/generate", {"image": _data_url(e1), "session": 1})
+        assert js0["image"] != js1["image"]
+
+        # session 0 applies; session 1's no-op regenerate of ITS edit
+        # still reflects session 1's own baseline (no cross-talk)
+        _post(url + "/apply", {"image": _data_url(e0), "session": 0})
+        js = _post(url + "/generate", {"image": _data_url(e0), "session": 0})
+        from PIL import Image
+
+        raw = base64.b64decode(js["image"].split(",", 1)[1])
+        out = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"),
+                         np.float32) / 255.0
+        assert np.mean(np.abs(out - np.clip(e0, 0, 1))) < 0.02
+
+        import urllib.error
+
+        try:
+            _post(url + "/reset", {"session": 9})
+            assert False, "expected HTTP 400 for out-of-range session"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+
+
 def test_demo_dpm_solver_sampler():
     runner = DemoRunner(TINY, sample_steps=4, noise_level=40,
                         total_steps=100, mask_dilate_radius=2, bucket_min=1,

@@ -50,6 +50,59 @@ def test_twin_step_server_dp_tp():
 
 
 @pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 cpu devices")
+def test_session_server_per_session_masks():
+    """SessionServer: S sessions with DIFFERENT masks batched over dp —
+    every session's vmapped sparse output must match a single-device
+    SIGEModel planned with that session's own mask. Sessions 2/3 use a
+    much larger edit than 0/1, so stacking crosses capacity AND box-shape
+    buckets and exercises the re-pin/restack path."""
+    from sige_tpu.core.masks import dilate_mask, downsample_mask
+    from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+    from sige_tpu.nn import SIGEModel
+    from sige_tpu.parallel import SessionServer
+
+    cfg = DDPMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=(8,), resolution=32,
+                         sparse_resolution_threshold=32)
+    module = SIGEFusedUNet(cfg=cfg)
+    model = SIGEModel(module, bucket_min=1)
+    rng = np.random.default_rng(3)
+    S = 4
+    x0 = rng.standard_normal((S, 1, 32, 32, 3)).astype(np.float32)
+    boxes = [(2, 8, 4, 10), (20, 28, 18, 30), (4, 26, 6, 28), (0, 6, 24, 32)]
+    masks, x1 = [], x0.copy()
+    for i, (r0, r1, c0, c1) in enumerate(boxes):
+        m = np.zeros((32, 32), bool)
+        m[r0:r1, c0:c1] = True
+        x1[i] += (rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+                  * m[None, :, :, None])
+        masks.append(downsample_mask(dilate_mask(m, 2), min_res=4))
+    tb = np.zeros((S, 1), np.float32)
+
+    model.init(jax.random.key(0), jnp.asarray(x0[0]), jnp.asarray(tb[0]))
+    mesh = make_mesh(4, tp=1, devices=jax.devices("cpu")[:4])
+    server = SessionServer(module, model.params, mesh=mesh, bucket_min=1)
+    server.prime(jnp.asarray(x0), jnp.asarray(tb))
+    for i in range(S):
+        server.set_masks(i, masks[i])
+    y = np.asarray(server.step(jnp.asarray(x1), jnp.asarray(tb)))
+    assert y.shape == (S, 1, 32, 32, 3)
+
+    for i in range(S):
+        model.full(jnp.asarray(x0[i]), jnp.asarray(tb[i]))
+        model.set_masks(masks[i])
+        want = np.asarray(model.sparse(jnp.asarray(x1[i]), jnp.asarray(tb[i])))
+        np.testing.assert_allclose(y[i], want, atol=1e-4,
+                                   err_msg=f"session {i}")
+
+    # sparse_update commits each session's edit: a follow-up sparse step
+    # on the SAME edited inputs must then reproduce the committed state
+    y_upd = np.asarray(server.step(jnp.asarray(x1), jnp.asarray(tb),
+                                   sparse_update=True))
+    np.testing.assert_allclose(y_upd, y, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 cpu devices")
 def test_spatial_apply_decoder_matches_single_device():
     """sp: one big request with rows sharded over 8 devices produces the
     single-device dense decode bit-for-tolerance (XLA SPMD inserts the
