@@ -242,15 +242,71 @@ def bench_ddpm(iters):
     }
 
 
+def bench_serving(iters, cfg=None, resolution=256, sessions=4):
+    """Multi-user serving: S sessions with DIFFERENT edit masks served
+    by ONE vmapped sparse step (parallel.SessionServer) on one chip —
+    a regime the reference cannot express (one process per user).
+    Reported as per-step latency for the whole session batch and
+    aggregate sessions/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from sige_tpu.core.masks import dilate_mask, downsample_mask
+    from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+    from sige_tpu.nn import SIGEModel
+    from sige_tpu.parallel import SessionServer, make_mesh
+    from sige_tpu.utils import scan_timed
+
+    R = resolution
+    if cfg is None:
+        cfg = DDPMUNetConfig(sige_tail=True)
+    module = SIGEFusedUNet(cfg=cfg)
+    model = SIGEModel(module)
+    rng = np.random.default_rng(0)
+    S = sessions
+    x0 = rng.standard_normal((S, 1, R, R, 3)).astype(np.float32)
+    x1 = x0.copy()
+    tb = jnp.zeros((S, 1), jnp.float32)
+    side = int(round((0.012 * R * R) ** 0.5))
+    min_res = R // (2 ** (len(cfg.ch_mult) - 1))
+    masks = []
+    for i in range(S):  # a different edit per session
+        m = np.zeros((R, R), bool)
+        r, c = (R // 4 + i * R // 8) % (R - side), (R // 3 + i * R // 16) % (R - side)
+        m[r: r + side, c: c + side] = True
+        x1[i] += rng.standard_normal((1, R, R, 3)).astype(np.float32) \
+            * m[None, :, :, None]
+        masks.append(downsample_mask(dilate_mask(m, 5), min_res=min_res))
+    model.init(jax.random.key(0), jnp.asarray(x0[0]), tb[0])
+
+    server = SessionServer(module, model.params, mesh=make_mesh(1, tp=1))
+    server.prime(jnp.asarray(x0), tb)
+    for i in range(S):
+        server.set_masks(i, masks[i])
+    plan = server._stacked_plan()
+
+    def f(v, x):
+        return server._vsparse(v["p"], v["c"], v["pl"], x, (v["t"],))
+
+    v = {"p": server.params, "c": server.cache, "pl": plan, "t": tb}
+    ms = scan_timed(f, v, server._shard(jnp.asarray(x1)),
+                    warmup=3, iters=max(iters // 8, 4))
+    return {
+        "sessions": S,
+        "batch_step_ms": round(ms, 2),
+        "session_steps_per_s": round(S / (ms / 1e3), 1),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         help="bench dtype for BOTH modes (fair comparison)")
     parser.add_argument("--families", type=str,
-                        default="ddpm,decoder,encoder,gaugan,pd",
+                        default="ddpm,decoder,encoder,gaugan,pd,serving",
                         help="extra per-family details (comma list of "
-                             "ddpm,decoder,encoder,gaugan,pd; "
+                             "ddpm,decoder,encoder,gaugan,pd,serving; "
                              "empty = SD UNet only)")
     args = parser.parse_args()
 
@@ -273,21 +329,30 @@ def main():
     sd = bench_sd_unet(args.iters, args.dtype)
     detail = {"sd_unet_512": sd, "device": str(jax.devices()[0])}
     fams = {f for f in args.families.split(",") if f}
-    if "ddpm" in fams:
+    runners = [
+        ("ddpm", "ddpm_church256", lambda: bench_ddpm(args.iters)),
+        ("decoder", "sd_vae_decoder_512",
+         lambda: bench_vae_decoder(args.iters, args.dtype)),
+        ("encoder", "sd_vae_encoder_512",
+         lambda: bench_vae_encoder(args.iters, args.dtype)),
+        ("gaugan", "gaugan_512x256", lambda: bench_gaugan(args.iters)),
+        ("pd", "pd_church256", lambda: bench_pd(args.iters)),
+        ("serving", "serving_4_sessions",
+         lambda: bench_serving(args.iters)),
+    ]
+    for fam, key, fn in runners:
+        if fam not in fams:
+            continue
         reclaim()
-        detail["ddpm_church256"] = bench_ddpm(args.iters)
-    if "decoder" in fams:
-        reclaim()
-        detail["sd_vae_decoder_512"] = bench_vae_decoder(args.iters, args.dtype)
-    if "encoder" in fams:
-        reclaim()
-        detail["sd_vae_encoder_512"] = bench_vae_encoder(args.iters, args.dtype)
-    if "gaugan" in fams:
-        reclaim()
-        detail["gaugan_512x256"] = bench_gaugan(args.iters)
-    if "pd" in fams:
-        reclaim()
-        detail["pd_church256"] = bench_pd(args.iters)
+        try:
+            detail[key] = fn()
+        except Exception as e:  # a detail family must never sink the headline
+            import sys
+            import traceback
+
+            traceback.print_exc()
+            print(f"[bench] family {fam} failed: {e}", file=sys.stderr)
+            detail[key] = {"error": str(e)[:200]}
 
     speedup = sd["dense_ms"] / sd["sparse_ms"]
     result = {

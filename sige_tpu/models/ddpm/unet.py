@@ -380,12 +380,12 @@ class SIGEAttnBlock(SIGEModule):
             self.scatter2 = Scatter(gather=self.gather2, cache_slots=cfg.cache_slots)
 
     def _attend(self, qkv):
+        from ...ops.attention import mha
+
         B, H, W, _ = qkv.shape
         C = self.channels
         q, k, v = jnp.split(qkv.reshape(B, H * W, 3 * C), 3, axis=-1)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5)
-        w = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bqk,bkc->bqc", w, v)
+        out = mha(q, k, v, 1, C)
         sow_macs(self, 2 * B * H * W * H * W * C)
         return out.reshape(B, H, W, C)
 

@@ -335,15 +335,12 @@ class SIGEPDAttnBlock(SIGEModule):
             self.scatter2 = Scatter(gather=self.gather2, cache_slots=cfg.cache_slots)
 
     def _attend(self, qkv):
+        from ...ops.attention import mha
+
         B, H, W, _ = qkv.shape
         nh, hd = self.num_heads, self.head_dim
         q, k, v = jnp.split(qkv.reshape(B, H * W, 3 * nh * hd), 3, axis=-1)
-        q = q.reshape(B, H * W, nh, hd)
-        k = k.reshape(B, H * W, nh, hd)
-        v = v.reshape(B, H * W, nh, hd)
-        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k) * (hd ** -0.5)
-        w = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhc->bqhc", w, v)
+        out = mha(q, k, v, nh, hd)
         sow_macs(self, 2 * B * H * W * H * W * nh * hd)
         return out.reshape(B, H, W, nh * hd)
 

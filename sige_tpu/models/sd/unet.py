@@ -322,15 +322,12 @@ class SIGECrossAttention(SIGEModule):
             k = _read_slot(self.get_variable("cache", "k"), ctx.cache_id)
             v = _read_slot(self.get_variable("cache", "v"), ctx.cache_id)
 
+        from ...ops.attention import mha
+
         B, N, _ = q.shape
         M = k.shape[1]
         hd, nh = self.dim_head, self.heads
-        qh = q.reshape(B, N, nh, hd)
-        kh = k.reshape(B, M, nh, hd)
-        vh = v.reshape(B, M, nh, hd)
-        sim = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
+        out = mha(q, k, v, nh, hd)
         sow_macs(self, 2 * B * N * M * nh * hd)
         sow_dense_macs(self, out, self.query_dim)
         return to_out(out)
@@ -364,18 +361,15 @@ class _SelfAttention(nn.Module):
 
     def attend(self, x, k, v):
         """Multi-head attention of ``x`` queries over (k, v) tokens."""
+        from ...ops.attention import mha
+
         inner = self.heads * self.dim_head
         q = self.to_q(x)
         sow_dense_macs(self, x, inner)
         B, N, _ = q.shape
         M = k.shape[1]
         nh, hd = self.heads, self.dim_head
-        qh = q.reshape(B, N, nh, hd)
-        kh = k.reshape(B, M, nh, hd)
-        vh = v.reshape(B, M, nh, hd)
-        sim = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, inner)
+        out = mha(q, k, v, nh, hd)
         sow_macs(self, 2 * B * N * M * nh * hd)
         sow_dense_macs(self, out, self.query_dim)
         return self.to_out(out)
@@ -390,25 +384,15 @@ class _SelfAttention(nn.Module):
         additive biases keeping exactly one token per spatial position
         (stale where unedited, fresh where edited) — the exact token set
         of a scatter-updated full map, without materializing it."""
+        from ...ops.attention import masked_mha
+
         inner = self.heads * self.dim_head
         q = self.to_q(x)
         sow_dense_macs(self, x, inner)
         B, N, _ = q.shape
         Ms, Mf = ks.shape[1], kf.shape[1]
         nh, hd = self.heads, self.dim_head
-        qh = q.reshape(B, N, nh, hd)
-        sim_s = jnp.einsum("bnhd,bmhd->bhnm", qh,
-                           ks.reshape(B, Ms, nh, hd).astype(qh.dtype))
-        sim_f = jnp.einsum("bnhd,bmhd->bhnm", qh,
-                           kf.reshape(B, Mf, nh, hd))
-        sim = jnp.concatenate([sim_s, sim_f], axis=-1) * (hd ** -0.5)
-        bias = jnp.concatenate([bias_s, bias_f])[None, None, None, :]
-        attn = jax.nn.softmax(sim + bias.astype(sim.dtype), axis=-1)
-        out = (jnp.einsum("bhnm,bmhd->bnhd", attn[..., :Ms],
-                          vs.reshape(B, Ms, nh, hd).astype(attn.dtype))
-               + jnp.einsum("bhnm,bmhd->bnhd", attn[..., Ms:],
-                            vf.reshape(B, Mf, nh, hd)))
-        out = out.reshape(B, N, inner)
+        out = masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, nh, hd)
         sow_macs(self, 2 * B * N * (Ms + Mf) * nh * hd)
         sow_dense_macs(self, out, self.query_dim)
         return self.to_out(out)

@@ -343,6 +343,8 @@ class SIGEVAEAttnBlock(SIGEModule):
             k = self.k_scatter(k, ctx)  # full map (cache in full mode)
             v = self.v_scatter(v, ctx)
 
+        from ...ops.attention import mha
+
         q_shape = q.shape
         if sparse and self.sparse_ok:
             # tile layout: [B*K, bs, bs, C]; window layout: [B, WH, WW, C]
@@ -354,9 +356,7 @@ class SIGEVAEAttnBlock(SIGEModule):
         kt = k.reshape(B, Hk * Wk, C)
         vt = v.reshape(B, Hk * Wk, C)
 
-        logits = jnp.einsum("bqc,bkc->bqk", qt, kt) * (C ** -0.5)
-        w = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bqk,bkc->bqc", w, vt)
+        out = mha(qt, kt, vt, 1, C)
         sow_macs(self, 2 * B * qt.shape[1] * kt.shape[1] * C)
 
         if sparse and self.sparse_ok:
@@ -399,22 +399,17 @@ class SIGEVAEAttnBlock(SIGEModule):
         vs = _read_slot(self.v_scatter.get_variable("cache", "original"),
                         ctx.cache_id).reshape(B, -1, C)
 
-        neg = jnp.float32(-1e9)
+        from ...ops.attention import NEG_INF, masked_mha
+
         zero32 = jnp.float32(0.0)
-        bias_f = jnp.where(cov.reshape(-1), zero32, neg)
+        bias_f = jnp.where(cov.reshape(-1), zero32, NEG_INF)
         bias_s = jax.lax.dynamic_update_slice(
             jnp.zeros(tuple(res), jnp.float32),
-            jnp.where(cov, neg, zero32), (org[0], org[1])).reshape(-1)
-        bias = jnp.concatenate([bias_s, bias_f])[None, None, :]
+            jnp.where(cov, NEG_INF, zero32), (org[0], org[1])).reshape(-1)
 
         qt = q.reshape(B, WH * WW, C)
         Ms = ks.shape[1]
-        logits = jnp.concatenate(
-            [jnp.einsum("bqc,bkc->bqk", qt, ks.astype(qt.dtype)),
-             jnp.einsum("bqc,bkc->bqk", qt, kf)], axis=-1) * (C ** -0.5)
-        w = jax.nn.softmax(logits + bias.astype(logits.dtype), axis=-1)
-        out = (jnp.einsum("bqk,bkc->bqc", w[..., :Ms], vs.astype(w.dtype))
-               + jnp.einsum("bqk,bkc->bqc", w[..., Ms:], vf))
+        out = masked_mha(qt, ks, vs, kf, vf, bias_s, bias_f, 1, C)
         sow_macs(self, 2 * B * qt.shape[1] * (Ms + qt.shape[1]) * C)
         out = self.proj_out(out.reshape(B, WH, WW, C), ctx)
         y0w = window_slot_window(cache5, ctx.cache_id, org, (WH, WW))

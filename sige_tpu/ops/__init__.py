@@ -19,6 +19,7 @@ ARE the TPU-native design: XLA lowers them to aligned copies and fused
 selects, and they are the measured-fast path on chip.
 """
 
+from .attention import enable_flash_attention, masked_mha, mha
 from .conv import conv2d_nhwc, tile_conv2d
 from .gather import apply_epilogue, gather_tiles
 from .scatter import (
@@ -32,6 +33,9 @@ from .scatter import (
 )
 
 __all__ = [
+    "enable_flash_attention",
+    "mha",
+    "masked_mha",
     "conv2d_nhwc",
     "tile_conv2d",
     "gather_tiles",
