@@ -131,8 +131,26 @@ def bench_vae_decoder(iters, dtype="bfloat16"):
     return {
         "dense_ms": round(_timeit(fd, cast(dec.params), zb, iters=iters), 2),
         "sparse_ms": round(_timeit(fs, v, zb, iters=iters), 2),
+        "dense_gmacs": round(_model_macs(dec, z, "dense") / 1e9, 1),
+        "sparse_gmacs": round(_model_macs(dec, z, "sparse") / 1e9, 1),
         "dtype": str(dtype),
     }
+
+
+def _model_macs(model, x, mode):
+    """Traced-MACs collection for an argless-context model (the
+    torchprofile-equivalent count: convs + attention bmms + Dense)."""
+    import jax
+
+    from sige_tpu.nn.module import SIGECtx
+
+    variables = {"params": model.params, "cache": model.cache,
+                 "sige": model.plan}
+    _, mut = jax.jit(lambda v, x: model.module.apply(
+        v, x, ctx=SIGECtx(mode=mode),
+        mutable=["profile", "cache", "meta"]))(variables, x)
+    return float(sum(np.sum(np.asarray(l))
+                     for l in jax.tree.leaves(mut["profile"])))
 
 
 def bench_vae_encoder(iters, dtype="bfloat16"):
@@ -166,6 +184,8 @@ def bench_vae_encoder(iters, dtype="bfloat16"):
     return {
         "dense_ms": round(_timeit(fd, cast(enc.params), xb, iters=iters), 2),
         "sparse_ms": round(_timeit(fs, v, xb, iters=iters), 2),
+        "dense_gmacs": round(_model_macs(enc, img, "dense") / 1e9, 1),
+        "sparse_gmacs": round(_model_macs(enc, img, "sparse") / 1e9, 1),
         "dtype": str(dtype),
     }
 

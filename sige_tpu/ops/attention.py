@@ -1,9 +1,11 @@
 """Attention execution paths (naive XLA vs Pallas TPU flash).
 
 Every attention in the engine is GLOBAL spatial-token attention even
-under sparsity (the reference's invariant — SURVEY §5: diffusion
-sige_fused_unet.py scatters tiles back before attending; SD
-sige_attention.py keeps full-map K/V; the VAE runs sparse-Q/dense-KV).
+under sparsity (the reference's invariant — reference:
+diffusion/models/ddpm_arch/sige_fused_unet.py:179-199 scatters tiles
+back before attending; stable-diffusion sige_attention.py:152-167
+keeps full-map K/V; the VAE runs sparse-Q/dense-KV,
+ldm/modules/diffusionmodules/sige_model.py AttnBlock).
 Two shapes recur:
 
 * ``mha(q, k, v)`` — all-pairs multi-head attention;

@@ -219,3 +219,36 @@ def test_auto_layout_picks_per_edit():
     assert model.active_layout == "tiles"
     np.testing.assert_allclose(np.asarray(model.sparse(x, t)),
                                np.asarray(full), atol=2e-4)
+
+
+def test_deep_pyramid_window_containment_fixpoint():
+    """The canonical-window nesting fixpoint must hold on DEEP pyramids
+    (1024-res class, 8+ windowed levels): for every (res, 2*res) pair
+    the res-level window doubled must cover the 2*res window plus a 1px
+    halo — the invariant window_chain_extend_up2 slices against. The
+    round-2 advisor flagged the old fixed 8-iteration cap as silently
+    breakable here; the loop now iterates to convergence."""
+    from sige_tpu.nn.planner import _plan_canonical_windows
+
+    R = 1024
+    masks = {}
+    res = R
+    while res >= 4:
+        m = np.zeros((res, res), bool)
+        # off-center edit, ~1% area, so bucketing slack differs per level
+        s = max(1, res // 12)
+        m[res // 5: res // 5 + s, res // 3: res // 3 + s] = True
+        masks[(res, res)] = m
+        res //= 2
+    wins = _plan_canonical_windows(masks, consumed=set(masks), mult=16,
+                                   max_cover=1.0)
+    for (h, w), (r0, c0, wh, ww) in wins.items():
+        dbl = (2 * h, 2 * w)
+        if dbl not in wins:
+            continue
+        R0, C0, WH, WW = wins[dbl]
+        # doubled coarse window covers fine window + 1px halo
+        assert 2 * r0 <= R0 - 1 or R0 - 1 < 0, ((h, w), wins[(h, w)], wins[dbl])
+        assert 2 * (r0 + wh) >= R0 + WH + 1 or R0 + WH + 1 > dbl[0]
+        assert 2 * c0 <= C0 - 1 or C0 - 1 < 0
+        assert 2 * (c0 + ww) >= C0 + WW + 1 or C0 + WW + 1 > dbl[1]
