@@ -346,7 +346,16 @@ def main():
         jax.clear_caches()
         gc.collect()
 
+    def hbm_peak_mb():
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            return round(peak / 1e6, 1) if peak else None
+        except Exception:
+            return None
+
     sd = bench_sd_unet(args.iters, args.dtype)
+    sd["hbm_peak_mb"] = hbm_peak_mb()
     detail = {"sd_unet_512": sd, "device": str(jax.devices()[0])}
     fams = {f for f in args.families.split(",") if f}
     runners = [

@@ -134,3 +134,41 @@ def test_empty_mask():
     geom = BlockGeometry.create(6, 3, 1, 1)
     idx, count = reduce_mask_padded(np.zeros((32, 32), bool), geom)
     assert count == 0 and (idx == SENTINEL).all()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_bbox_of_map_pinned_size_fuzz(seed):
+    """Pinned-size bbox crops: same covered content as the unpinned
+    crop, shape exactly the pin (canvas-clamped), extra area all -1,
+    and ValueError when the extent outgrows the pin."""
+    from sige_tpu.core.scatter_map import bbox_of_map
+
+    rng = np.random.default_rng(seed)
+    H, W = int(rng.integers(8, 90)), int(rng.integers(8, 90))
+    m = np.full((H, W), -1, np.int32)
+    n = int(rng.integers(0, 5))
+    for _ in range(n):
+        r, c = rng.integers(0, H), rng.integers(0, W)
+        h = int(rng.integers(1, H - r + 1))
+        w = int(rng.integers(1, W - c + 1))
+        m[r:r + h, c:c + w] = rng.integers(0, 1000)
+
+    org0, box0 = bbox_of_map(m)
+    pin = (min(box0.shape[0] + 32, H), min(box0.shape[1] + 32, W))
+    org, box = bbox_of_map(m, size=pin)
+    assert box.shape == pin
+    # reconstruct full maps: both crops must describe the same coverage
+    full0 = np.full((H, W), -1, np.int32)
+    full0[org0[0]:org0[0] + box0.shape[0],
+          org0[1]:org0[1] + box0.shape[1]] = box0
+    full = np.full((H, W), -1, np.int32)
+    full[org[0]:org[0] + box.shape[0],
+         org[1]:org[1] + box.shape[1]] = box
+    np.testing.assert_array_equal(full, full0)
+    np.testing.assert_array_equal(full, m * (m >= 0) + -1 * (m < 0))
+
+    rows = np.nonzero((m >= 0).any(axis=1))[0]
+    if rows.size and rows[-1] - rows[0] + 1 > 1:
+        # a pin smaller than the covered row extent must refuse
+        with pytest.raises(ValueError):
+            bbox_of_map(m, size=(int(rows[-1] - rows[0]), W))
