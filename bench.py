@@ -80,13 +80,12 @@ def bench_sd_unet(iters, dtype="bfloat16"):
     dense_ms = _timeit(fd, cast(model.params), xb, iters=iters)
 
     def macs(mode):
+        from sige_tpu.utils import traced_macs
+
         variables = {"params": model.params, "cache": model.cache,
                      "sige": model.plan}
-        _, mut = jax.jit(lambda v, x: model.module.apply(
-            v, x, t, c, ctx=SIGECtx(mode=mode),
-            mutable=["profile", "cache", "meta"]))(variables, x)
-        return float(sum(np.sum(np.asarray(l))
-                         for l in jax.tree.leaves(mut["profile"])))
+        return traced_macs(model.module, variables, x, t, c,
+                           ctx=SIGECtx(mode=mode))
 
     return {
         "dense_ms": round(dense_ms, 2),
@@ -138,19 +137,13 @@ def bench_vae_decoder(iters, dtype="bfloat16"):
 
 
 def _model_macs(model, x, mode):
-    """Traced-MACs collection for an argless-context model (the
-    torchprofile-equivalent count: convs + attention bmms + Dense)."""
-    import jax
-
+    """Traced MACs of a SIGEModel-wrapped module with no extra args."""
     from sige_tpu.nn.module import SIGECtx
+    from sige_tpu.utils import traced_macs
 
     variables = {"params": model.params, "cache": model.cache,
                  "sige": model.plan}
-    _, mut = jax.jit(lambda v, x: model.module.apply(
-        v, x, ctx=SIGECtx(mode=mode),
-        mutable=["profile", "cache", "meta"]))(variables, x)
-    return float(sum(np.sum(np.asarray(l))
-                     for l in jax.tree.leaves(mut["profile"])))
+    return traced_macs(model.module, variables, x, ctx=SIGECtx(mode=mode))
 
 
 def bench_vae_encoder(iters, dtype="bfloat16"):

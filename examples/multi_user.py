@@ -37,8 +37,11 @@ def main():
     tb = jnp.zeros((S, 1), jnp.float32)
     model.init(jax.random.key(0), jnp.asarray(x0[0]), tb[0])
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh(S if n_dev >= S else 1, tp=1)
+    import math
+
+    # dp = as many devices as divide the session count evenly (same
+    # rule as demo.MultiSessionDemoRunner)
+    mesh = make_mesh(math.gcd(S, len(jax.devices())), tp=1)
     server = SessionServer(module, model.params, mesh=mesh, bucket_min=1)
     server.prime(jnp.asarray(x0), tb)
 

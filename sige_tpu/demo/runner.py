@@ -267,14 +267,18 @@ class MultiSessionDemoRunner:
             return inverse_data_transform(base_i[0], True)
         mask = dilate_mask(mask, inner.mask_dilate_radius)
         min_res = R // (2 ** (len(inner.model_cfg.ch_mult) - 1))
-        self._stack.set(i, downsample_mask(mask, min_res=min_res))
+        # unchanged edit region -> planning, restack and upload all skip
+        self._stack.set_if_changed(i, downsample_mask(mask, min_res=min_res))
         self.last_x1 = self.last_x1.at[i].set(x1)
         self.masks = self.masks.at[i].set(jnp.asarray(mask))
 
         host = self._stack.stacked()
         if host is not self._plan_src:
+            from ..parallel.serving import upload_reuse
+
+            self._plan_dev = upload_reuse(self._shard, self._plan_src,
+                                          self._plan_dev, host)
             self._plan_src = host
-            self._plan_dev = self._shard(host)
         xts = inner.sampler.q_sample(self.last_x1,
                                      jnp.int32(inner.seq[-1]), self.base_e)
         with self.mesh:

@@ -240,10 +240,14 @@ def make_handler(runner, base_image: np.ndarray, resolution: int,
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")
             t0 = time.perf_counter()
-            sid = int(payload.get("session", 0))
+            try:
+                sid = int(payload.get("session") or 0)
+            except (TypeError, ValueError):
+                sid = -1
             if not 0 <= sid < sessions:
-                self._send({"error": f"session {sid} out of range "
-                                     f"(0..{sessions - 1})"}, code=400)
+                self._send({"error": f"session {payload.get('session')!r} "
+                                     f"out of range (0..{sessions - 1})"},
+                           code=400)
                 return
             if self.path == "/reset":
                 out = (runner.reset_base_image(sid, base_image) if multi

@@ -70,9 +70,21 @@ def _flash_viable(n: int, m: int, interpret: bool) -> bool:
                           and (_INTERPRET
                                or jax.default_backend() == "tpu"))):
         return False
-    # default BlockSizes tile Sq/Skv at min(512, S) x min(1024, S):
-    # lane-multiple sequence lengths always tile; odd lengths fall back
+    # explicit 128-blocks are passed to the kernel (_block_sizes), so
+    # lane-multiple sequence lengths always tile regardless of the JAX
+    # release's get_default choices; odd lengths fall back to naive
     return n % 128 == 0 and m % 128 == 0
+
+
+def _block_sizes(n: int, m: int):
+    """Explicit forward-pass tiles: q 512|n, kv 128 (the gate above
+    guarantees 128 | n, m — do NOT rely on BlockSizes.get_default,
+    whose values vary across JAX releases)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    bq = 512 if n % 512 == 0 else 128
+    return fa.BlockSizes(block_q=bq, block_k_major=128, block_k=128,
+                         block_b=1)
 
 
 def _pad_heads(t, hd_pad: int):
@@ -103,7 +115,8 @@ def _flash(qh, kh, vh, scale: float, kv_seg=None, interpret: bool = False):
 
     def run():
         return fa.flash_attention(q, k, v, segment_ids=seg, causal=False,
-                                  sm_scale=float(scale))
+                                  sm_scale=float(scale),
+                                  block_sizes=_block_sizes(N, M))
 
     if interpret or _INTERPRET:
         from jax.experimental.pallas import tpu as pltpu

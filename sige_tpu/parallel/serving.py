@@ -104,6 +104,18 @@ class PlanStack:
         self.plans[i] = self._build(masks)
         self._stacked = None
 
+    def set_if_changed(self, i: int, masks) -> bool:
+        """set(), skipped (returning False) when session ``i``'s mask
+        pyramid is unchanged — planning and the restack are pure
+        functions of the masks, so an identical edit region costs
+        nothing."""
+        old = self.masks[i]
+        if (old is not None and set(old) == set(masks)
+                and all(np.array_equal(old[k], masks[k]) for k in masks)):
+            return False
+        self.set(i, masks)
+        return True
+
     def stacked(self):
         if self._stacked is not None:
             return self._stacked
@@ -119,6 +131,32 @@ class PlanStack:
             self._stacked = jax.tree.map(lambda *ls: np.stack(ls),
                                          *self.plans)
         return self._stacked
+
+
+def upload_reuse(shard, prev_host, prev_dev, host):
+    """Device upload of a host pytree, reusing device-resident leaves
+    whose host content is unchanged since the previous upload; leaves
+    that did change travel in ONE batched transfer
+    (engine._upload_plan's strategy — per-leaf transfers cost ~50-100ms
+    each through a remote-dispatch tunnel, and a small moved edit
+    changes only a few leaves of a stacked multi-session plan)."""
+    import jax.tree_util as jtu
+
+    leaves, treedef = jtu.tree_flatten(host)
+    reuse = [None] * len(leaves)
+    if prev_host is not None and prev_dev is not None:
+        pl, ptd = jtu.tree_flatten(prev_host)
+        if ptd == treedef:
+            dl = jtu.tree_leaves(prev_dev)
+            reuse = [d if (np.shape(a) == np.shape(b)
+                           and np.asarray(a).dtype == np.asarray(b).dtype
+                           and np.array_equal(a, b)) else None
+                     for a, b, d in zip(leaves, pl, dl)]
+    fresh = [l for l, r in zip(leaves, reuse) if r is None]
+    if fresh:
+        it = iter(shard(fresh))
+        reuse = [r if r is not None else next(it) for r in reuse]
+    return jtu.tree_unflatten(treedef, reuse)
 
 
 class SessionServer:
@@ -202,8 +240,9 @@ class SessionServer:
     def _stacked_plan(self):
         host = self._stack.stacked()
         if host is not self._plan_src:
+            self._plan_dev = upload_reuse(self._shard, self._plan_src,
+                                          self._plan_dev, host)
             self._plan_src = host
-            self._plan_dev = self._shard(host)
         return self._plan_dev
 
     def step(self, x_edit, *args, sparse_update: bool = False):

@@ -127,9 +127,7 @@ class GauGANRunner:
                                 warmup=max(warmup // 4, 2),
                                 iters=max(iters // 8, 4))
 
-        _, mut = jax.jit(lambda v, x: self.module.apply(
-            v, x, ctx=ctx, mutable=["profile", "cache", "meta"]))(variables, x1)
-        macs = float(sum(np.sum(np.asarray(l))
-                         for l in jax.tree.leaves(mut["profile"])))
+        from ..utils import traced_macs
+        macs = traced_macs(self.module, variables, x1, ctx=ctx)
         return {"latency_ms": latency_ms, "macs_g": macs / 1e9,
                 "edit_ratio": float(np.mean(mask))}

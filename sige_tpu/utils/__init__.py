@@ -2,7 +2,8 @@
 
 from .platform import (bf16_conv_kernels, device_sync,
                        enable_compilation_cache, on_tpu, scan_timed,
+                       traced_macs,
                        timed_loop)
 
 __all__ = ["enable_compilation_cache", "device_sync", "timed_loop",
-           "scan_timed", "bf16_conv_kernels", "on_tpu"]
+           "scan_timed", "bf16_conv_kernels", "on_tpu", "traced_macs"]

@@ -135,3 +135,20 @@ def bf16_conv_kernels(params):
 
 def on_tpu() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
+
+
+def traced_macs(module, variables, *args, ctx, **kwargs) -> float:
+    """Traced-MACs collection (the torchprofile-equivalent count): one
+    jitted apply with the "profile" collection mutable, summed over its
+    leaves. Counts convs, attention bmms, and Dense layers — every
+    call site sows via nn.module.sow_macs / sow_dense_macs."""
+    import jax
+    import numpy as np
+
+    def f(v, a, kw):
+        return module.apply(v, *a, ctx=ctx,
+                            mutable=["profile", "cache", "meta"], **kw)
+
+    _, mut = jax.jit(f)(variables, args, kwargs)
+    return float(sum(np.sum(np.asarray(l))
+                     for l in jax.tree.leaves(mut["profile"])))
