@@ -143,8 +143,16 @@ def mha(q, k, v, heads: int, dim_head: int, *,
     kh = k.reshape(B, M, nh, hd)
     vh = v.reshape(B, M, nh, hd)
     scale = hd ** -0.5
-    if _flash_viable(N, M, _interpret):
-        out = _flash(qh, kh, vh, scale, interpret=_interpret)
+    mp = -(-M // 128) * 128  # ragged KV (e.g. 77 text tokens) pads to a
+    if _flash_viable(N, mp, _interpret):  # lane multiple, dead-segmented
+        kv_seg = None
+        if mp != M:
+            pad = ((0, 0), (0, mp - M), (0, 0), (0, 0))
+            kh = jnp.pad(kh, pad)
+            vh = jnp.pad(vh, pad)
+            kv_seg = jnp.broadcast_to(
+                (jnp.arange(mp) >= M).astype(jnp.int32)[None], (B, mp))
+        out = _flash(qh, kh, vh, scale, kv_seg=kv_seg, interpret=_interpret)
         return out.reshape(B, N, nh * hd)
     sim = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * scale
     attn = jax.nn.softmax(sim, axis=-1)

@@ -38,6 +38,20 @@ def test_flash_falls_back_on_odd_lengths():
         np.asarray(mha(q, k, v, nh, hd)))
 
 
+def test_flash_ragged_kv_pads_with_dead_segments():
+    """The SD text cross-attention has M=77 KV tokens; the flash path
+    pads KV to a lane multiple with dead-segmented tokens and must
+    match the naive unpadded computation."""
+    B, N, M, nh, hd = 2, 128, 77, 2, 40
+    q = _rand(20, B, N, nh * hd)
+    k = _rand(21, B, M, nh * hd)
+    v = _rand(22, B, M, nh * hd)
+    want = mha(q, k, v, nh, hd)
+    got = mha(q, k, v, nh, hd, _interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("nh,hd", [(1, 64), (2, 40)])
 def test_flash_masked_mha_matches_naive(nh, hd):
     """Masked stale-K/V: flash rides segment ids, naive rides additive
