@@ -57,7 +57,7 @@ def _build_pd_runner(config, restore_from=None):
         attn_resolutions=tuple(m.attn_resolutions), in_ch=m.in_ch,
         out_ch=m.out_ch, resolution=config.data.image_size,
         temb_ch=m.get("temb_ch", 768), head_dim=m.get("head_dim", 64),
-        num_heads=m.get("num_heads"),
+        num_heads=m.get("num_heads"), num_groups=m.get("num_groups", 32),
         logsnr_input_type=m.get("logsnr_input_type", "inv_cos"),
         block_size_normal=(m.get("sige_block_size") or {}).get("normal", 6),
         block_size_instance=(m.get("sige_block_size") or {}).get("instance", 4),
@@ -95,6 +95,7 @@ def _build_ddpm_runner(config, restore_from=None):
         ch=m.ch, ch_mult=tuple(m.ch_mult), num_res_blocks=m.num_res_blocks,
         attn_resolutions=tuple(m.attn_resolutions), in_ch=m.in_ch,
         out_ch=m.out_ch, resolution=config.data.image_size,
+        num_groups=m.get("num_groups", 32),
         block_size_normal=m.get("sige_block_size", {}).get("normal", 6),
         block_size_instance=m.get("sige_block_size", {}).get("instance", 4),
         sparse_resolution_threshold=m.get("sparse_resolution_threshold", 64),
