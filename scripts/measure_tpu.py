@@ -42,7 +42,7 @@ def main():
     probe = subprocess.run(
         [sys.executable, "-c", "import jax; print(jax.devices())"],
         capture_output=True, text=True, timeout=180)
-    if probe.returncode != 0 or "Tpu" not in probe.stdout + probe.stderr:
+    if probe.returncode != 0 or "tpu" not in (probe.stdout + probe.stderr).lower():
         raise SystemExit(f"TPU not reachable: {probe.stdout}{probe.stderr}")
     print("device:", probe.stdout.strip())
 
