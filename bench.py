@@ -79,6 +79,14 @@ def bench_sd_unet(iters, dtype="bfloat16"):
     sparse_ms = _timeit(fs, v, xb, iters=iters)
     dense_ms = _timeit(fd, cast(model.params), xb, iters=iters)
 
+    # peak HBM of the compiled single-step programs (XLA buffer
+    # assignment: args + outputs + temps at high-water; the counter that
+    # works through the remote tunnel — memory_stats() is None there)
+    from sige_tpu.utils import compiled_hbm_mb
+
+    hbm_dense = compiled_hbm_mb(fd, cast(model.params), xb)
+    hbm_sparse = compiled_hbm_mb(fs, v, xb)
+
     def macs(mode):
         from sige_tpu.utils import traced_macs
 
@@ -94,6 +102,8 @@ def bench_sd_unet(iters, dtype="bfloat16"):
         "sparse_gmacs": round(macs("sparse") / 1e9, 1),
         "edit_ratio_pct": round(100 * float(_edit_mask(512, dilate=0).mean()), 2),
         "dtype": str(dtype),
+        "hbm_dense_mb": hbm_dense,
+        "hbm_sparse_mb": hbm_sparse,
     }
 
 
@@ -339,16 +349,7 @@ def main():
         jax.clear_caches()
         gc.collect()
 
-    def hbm_peak_mb():
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            peak = stats.get("peak_bytes_in_use")
-            return round(peak / 1e6, 1) if peak else None
-        except Exception:
-            return None
-
     sd = bench_sd_unet(args.iters, args.dtype)
-    sd["hbm_peak_mb"] = hbm_peak_mb()
     detail = {"sd_unet_512": sd, "device": str(jax.devices()[0])}
     fams = {f for f in args.families.split(",") if f}
     runners = [

@@ -8,8 +8,14 @@ to 1e-4 — while doing a fraction of the MACs.
 
 Run: python examples/minimal.py  (uses the default JAX platform — the TPU
 chip if present, CPU otherwise).
+
+When the reference checkout is present, the edit region is the reference's
+published golden mask (reference: assets/mask.npy, the exact mask
+example.py:68-71 runs its equivalence contract on); otherwise a synthetic
+~2% square.
 """
 
+import os
 import time
 
 import jax
@@ -20,6 +26,9 @@ from sige_tpu.core import BlockGeometry, build_src_map, reduce_mask_padded
 from sige_tpu.core.masks import compute_difference_mask, dilate_mask
 from sige_tpu.ops import conv2d_nhwc, gather_tiles, scatter_tiles, tile_conv2d
 
+GOLDEN_MASK = os.environ.get("SIGE_REFERENCE_MASK",
+                             "/root/reference/assets/mask.npy")
+
 
 def main():
     print(f"devices: {jax.devices()}")
@@ -27,10 +36,17 @@ def main():
     H = W = 256
     Cin, Cout = 16, 32
 
-    # Original input and an edit confined to a small square region.
+    # Original input and an edit confined to a small region — the
+    # reference's golden mask when available.
+    if os.path.isfile(GOLDEN_MASK):
+        edit_region = np.load(GOLDEN_MASK)
+        H, W = edit_region.shape
+        print(f"edit region: golden mask {GOLDEN_MASK} "
+              f"({100 * edit_region.mean():.2f}% of {H}x{W})")
+    else:
+        edit_region = np.zeros((H, W), bool)
+        edit_region[96:128, 120:160] = True  # ~2% of the image
     x0 = rng.standard_normal((1, H, W, Cin)).astype(np.float32)
-    edit_region = np.zeros((H, W), bool)
-    edit_region[96:128, 120:160] = True  # ~2% of the image
     x1 = x0 + rng.standard_normal((1, H, W, Cin)).astype(np.float32) * edit_region[None, :, :, None]
     x0, x1 = jnp.asarray(x0), jnp.asarray(x1)
 

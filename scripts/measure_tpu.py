@@ -39,12 +39,17 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args()
 
+    # probe the resolved platform directly: stderr can contain strings
+    # like "Unable to initialize backend 'tpu'" even on CPU fallback, so
+    # substring-matching combined output false-passes (ADVICE r3)
     probe = subprocess.run(
-        [sys.executable, "-c", "import jax; print(jax.devices())"],
+        [sys.executable, "-c",
+         "import jax; d = jax.devices()[0]; print(d.platform); print(d)"],
         capture_output=True, text=True, timeout=180)
-    if probe.returncode != 0 or "tpu" not in (probe.stdout + probe.stderr).lower():
+    lines = probe.stdout.strip().splitlines()
+    if probe.returncode != 0 or not lines or lines[0] != "tpu":
         raise SystemExit(f"TPU not reachable: {probe.stdout}{probe.stderr}")
-    print("device:", probe.stdout.strip())
+    print("device:", lines[-1])
 
     naive = _run({}, "ddpm,decoder,encoder,gaugan,pd,serving", args.iters)
     print("NAIVE:", json.dumps(naive))

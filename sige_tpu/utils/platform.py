@@ -48,6 +48,16 @@ def timed_loop(fn, args, warmup: int = 5, iters: int = 50,
     Five batches: the dispatch tunnel has multi-second slow phases that
     can swallow three consecutive batches (measured 3.1 vs 4.0 ms for
     the same program); more min-candidates ride them out.
+
+    Measurement validity (round-3 postmortem): a single floor probe can
+    itself land in a multi-second tunnel stall, making ``rt`` exceed a
+    whole batch — the old code then clamped the negative per-iter time
+    to 0.0 and a physically impossible number reached the published
+    capture (BENCH_r03 pd sparse_ms = 0.0). Now the floor is the min of
+    three probes, a batch only counts when its elapsed time is at least
+    twice the floor (the measured work must dominate the subtraction),
+    unresolvable runs retry with 4x the iters, and a run that still
+    cannot resolve RAISES instead of fabricating a time.
     """
     import time
 
@@ -55,18 +65,28 @@ def timed_loop(fn, args, warmup: int = 5, iters: int = 50,
     for _ in range(max(warmup, 1)):
         y = fn(*args)
     device_sync(y)
-    # round-trip floor (one tiny sync)
-    t0 = time.perf_counter()
-    device_sync(y)
-    rt = (time.perf_counter() - t0) * 1e3
-    best = float("inf")
-    for _ in range(batches):
+    rt = float("inf")  # round-trip floor: min of three tiny syncs
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            y = fn(*args)
         device_sync(y)
-        best = min(best, ((time.perf_counter() - t0) * 1e3 - rt) / iters)
-    return max(best, 0.0)
+        rt = min(rt, (time.perf_counter() - t0) * 1e3)
+    for attempt in range(3):
+        best = float("inf")
+        for _ in range(batches):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                y = fn(*args)
+            device_sync(y)
+            elapsed = (time.perf_counter() - t0) * 1e3
+            if elapsed > 2.0 * rt:  # work dominates the subtracted floor
+                best = min(best, (elapsed - rt) / iters)
+        if best != float("inf"):
+            return best
+        iters *= 4  # too fast to resolve above the floor: lengthen batches
+    raise RuntimeError(
+        f"timed_loop could not resolve a per-call time above the host "
+        f"round-trip floor ({rt:.3f} ms) even at {iters} iters/batch - "
+        f"refusing to report a fabricated number")
 
 
 def scan_timed(step, v, x, length: int = 16, warmup: int = 3,
@@ -135,6 +155,24 @@ def bf16_conv_kernels(params):
 
 def on_tpu() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
+
+
+def compiled_hbm_mb(fn, *args) -> float | None:
+    """Peak HBM (MB) of the compiled program for ``fn(*args)`` from XLA's
+    buffer assignment (``peak_memory_in_bytes``: arguments + outputs +
+    temporaries at the high-water mark).
+
+    This is the counter that actually works through the remote-dispatch
+    tunnel: ``device.memory_stats()`` returns None there (BENCH_r03's
+    hbm_peak_mb was null for exactly this reason), but memory analysis is
+    host-side compile metadata and always available."""
+    try:
+        ma = jax.jit(fn).lower(*args).compile().memory_analysis()
+        if ma is None:
+            return None
+        return round(ma.peak_memory_in_bytes / 1e6, 1)
+    except Exception:
+        return None
 
 
 def traced_macs(module, variables, *args, ctx, **kwargs) -> float:

@@ -403,3 +403,88 @@ class TestScatterGatherParity:
             ).numpy()
             mine = build_src_map(idx, None, geom, (oh_, ow_))
             np.testing.assert_array_equal(mine >= 0, smap[:, :, 0] >= 0)
+
+
+# ---------------------------------------------------------------------------
+# golden mask asset (reference: assets/mask.npy — the exact published mask
+# example.py:57-95 runs its equivalence contract on)
+# ---------------------------------------------------------------------------
+
+GOLDEN_MASK = os.path.join(REF_ROOT, "assets", "mask.npy")
+
+
+@pytest.fixture(scope="session")
+def golden_mask():
+    if not os.path.isfile(GOLDEN_MASK):
+        pytest.skip("reference assets/mask.npy not present")
+    return np.load(GOLDEN_MASK)
+
+
+class TestGoldenMask:
+    """The reference's published-mask contract, not just random masks."""
+
+    def test_three_phase_equivalence(self, golden_mask, rng):
+        """example.py's exact protocol on the exact mask: full on edited,
+        full on original (cache), sparse on edited — allclose to 1e-4.
+        (reference: example.py:68-95)"""
+        import jax
+        import jax.numpy as jnp
+
+        from sige_tpu.ops import conv2d_nhwc, tile_conv2d
+
+        H, W = golden_mask.shape
+        Cin, Cout = 16, 32
+        x0 = rng.standard_normal((1, H, W, Cin)).astype(np.float32)
+        x1 = x0 + (rng.standard_normal((1, H, W, Cin)).astype(np.float32)
+                   * golden_mask[None, :, :, None])
+        w = rng.standard_normal((3, 3, Cin, Cout)).astype(np.float32) * 0.1
+        b = rng.standard_normal((Cout,)).astype(np.float32)
+
+        dense = jax.jit(lambda x: conv2d_nhwc(jnp.asarray(x), w, b, padding=1))
+        y_full = np.asarray(dense(x1))
+        y_cache = dense(x0)
+
+        geom = BlockGeometry.create(6, 3, 1, 1)
+        idx, count = reduce_mask_padded(golden_mask, geom)
+        src_map = build_src_map(idx, count, geom, (H, W))
+
+        tiles = gather_tiles(jnp.asarray(x1), jnp.asarray(idx),
+                             jnp.int32(count), geom)
+        tiles = tile_conv2d(tiles, w, b)
+        y_sparse = np.asarray(
+            scatter_tiles(tiles, y_cache, jnp.asarray(src_map), geom))
+        np.testing.assert_allclose(y_sparse, y_full, atol=1e-4, rtol=0)
+
+    def test_op_parity_on_golden_mask(self, ref_cpu, golden_mask, rng):
+        """Op-level oracle parity on the exact published mask."""
+        geom = BlockGeometry.create(6, 3, 1, 1)
+        H, W = golden_mask.shape
+        idx = reduce_mask(golden_mask, geom)
+        assert idx.shape[0] > 0
+        B, C = 1, 8
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        ref = ref_cpu.gather(
+            nchw(x), geom.block_size[0], geom.block_size[1],
+            torch.from_numpy(idx), None, None, "swish", False)
+        mine = gather_tiles(x, idx, np.int32(idx.shape[0]), geom,
+                            activation="swish")
+        np.testing.assert_allclose(np.asarray(mine), nhwc(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        tiles = consistent_tiles(rng, idx, geom, B, C, (H, W))
+        cache = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        ref_s = ref_cpu.scatter(
+            nchw(tiles), nchw(cache), geom.offset[0], geom.offset[1],
+            1, 1, torch.from_numpy(idx), None)
+        mine_s = scatter_tiles(tiles, cache,
+                               build_src_map(idx, None, geom, (H, W)), geom)
+        np.testing.assert_allclose(np.asarray(mine_s), nhwc(ref_s),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_reduce_mask_parity_on_golden_mask(self, sige_ref, golden_mask):
+        for geom in GEOMS:
+            mine = reduce_mask(golden_mask, geom)
+            ref = sige_ref.utils.reduce_mask(
+                torch.from_numpy(golden_mask), geom.block_size,
+                geom.block_stride, geom.offset)
+            np.testing.assert_array_equal(mine, ref.numpy())
