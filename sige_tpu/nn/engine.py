@@ -122,6 +122,25 @@ class SIGEModel:
             self.meta = mut["meta"]
         return y
 
+    def adopt_full(self, cache, meta, *args, **kwargs):
+        """Adopt caches + planning metadata produced by an EXTERNAL full
+        pass — e.g. :func:`sige_tpu.parallel.spatial_full_apply`, the
+        row-sharded cache-filling pass of the big-canvas composition
+        (one chip cannot run the dense pass; n chips fill the caches,
+        then sparse steps run here single-chip). ``args``/``kwargs`` are
+        the example model inputs the external pass ran on (shapes only;
+        used to key the planning metadata the same way :meth:`full`
+        does)."""
+        self._input_sig = jax.tree.map(
+            lambda a: np.shape(a) if hasattr(a, "shape") else a,
+            (args, kwargs))
+        self.cache = cache
+        self.meta = meta
+        self._meta_host = None
+        self.plan = {}
+        self._plan_host = None
+        self.capacities = {}
+
     def set_masks(self, masks: Mapping, capacities: Optional[Dict] = None):
         """Host-side planning: mask pyramid -> indices/owner maps."""
         if self.meta is None:

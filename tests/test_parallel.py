@@ -128,3 +128,58 @@ def test_spatial_apply_decoder_matches_single_device():
 
     with pytest.raises(ValueError, match="not divisible"):
         spatial_apply(mesh, module, params, z[:, :12])
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 cpu devices")
+def test_big_canvas_composition_sp_full_then_single_chip_sparse():
+    """The big-canvas composition (parallel/spatial.py docstring): the
+    one-time full pass runs row-sharded over the sp mesh and leaves
+    ROW-SHARDED caches; the per-edit sparse step then runs on one chip
+    from those adopted caches and must match the all-single-chip engine
+    flow exactly."""
+    from sige_tpu.core.masks import dilate_mask, downsample_mask
+    from sige_tpu.models.sd import SDVAEConfig, SIGEDecoder
+    from sige_tpu.nn import SIGEModel
+    from sige_tpu.nn.module import SIGECtx
+    from sige_tpu.parallel import make_spatial_mesh, spatial_full_apply
+
+    cfg = SDVAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=32, num_groups=8)
+    module = SIGEDecoder(cfg=cfg)
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+    params = module.init(jax.random.key(0), z,
+                         ctx=SIGECtx(mode="dense"))["params"]
+
+    mesh = make_spatial_mesh(8, devices=jax.devices("cpu"))
+    y_sp, cache_sp, meta_sp = spatial_full_apply(mesh, module, params, z)
+
+    # the caches the full pass left behind live row-sharded on the mesh
+    maps = [a for a in jax.tree.leaves(cache_sp) if a.ndim >= 4]
+    assert maps and any(not a.sharding.is_fully_replicated for a in maps)
+
+    mask = np.zeros((32, 32), bool)
+    mask[8:16, 10:20] = True
+    masks = downsample_mask(dilate_mask(mask, 2), min_res=16)
+    z_edit = z + jnp.asarray(
+        rng.standard_normal(z.shape).astype(np.float32)
+        * np.asarray(masks[(16, 16)])[None, :, :, None])
+
+    one = jax.devices("cpu")[0]
+    model = SIGEModel(module, bucket_min=1)
+    model.params = jax.device_put(params, one)
+    model.adopt_full(jax.device_put(cache_sp, one),
+                     jax.device_put(meta_sp, one), z)
+    model.set_masks(masks)
+    got = np.asarray(model.sparse(jax.device_put(z_edit, one)))
+
+    # reference flow: everything on one chip from the start
+    ref = SIGEModel(module, bucket_min=1)
+    ref.params = params
+    ref.full(z)
+    ref.set_masks(masks)
+    want = np.asarray(ref.sparse(z_edit))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # and the sp full output itself matches the one-chip full output
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(ref.full(z)),
+                               atol=1e-5)
