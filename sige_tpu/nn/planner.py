@@ -52,8 +52,9 @@ def _is_gather_record(node: Mapping) -> bool:
     return isinstance(node, Mapping) and "geom" in node and "input_res" in node
 
 
-def _fit_window(lo: int, hi: int, limit: int, mult: int) -> Tuple[int, int]:
-    size = min(-(-(hi - lo) // mult) * mult, limit)
+def _fit_window(lo: int, hi: int, limit: int, mult: int,
+                min_size: int = 0) -> Tuple[int, int]:
+    size = min(max(-(-(hi - lo) // mult) * mult, min_size), limit)
     return max(min(int(lo), limit - size), 0), size
 
 
@@ -103,6 +104,7 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
                             consumed: Optional[set] = None,
                             nesting: bool = True,
                             max_cover: float = 0.75,
+                            ext_pins: Optional[Mapping[IntPair, IntPair]] = None,
                             ) -> Dict[IntPair, Tuple]:
     """{res: (r0, c0, WH, WW)} — THE bucketed window every gather/scatter
     at a resolution shares (alignment keeps window-mode joins pure
@@ -131,9 +133,21 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
     Dropped resolutions also leave the nesting fixpoint, so their
     growth never cascades; chain markers (wup_ok/wdn_ok) already demand
     the partner resolution be windowed, so chains break cleanly at the
-    layout seam."""
+    layout seam.
+
+    ``ext_pins`` ({res: (WH, WW)} minimum extents) switches to PINNED
+    mode: the windowed resolution set is exactly the pinned set (the
+    max_cover filter is skipped — the pins already encode it) and every
+    fitted window is at least its pinned extent. Plans built for
+    different masks under the same pins share every window-derived leaf
+    SHAPE, so they stack on a session axis for one vmapped sparse
+    program (parallel.PlanStack). A mask whose natural window outgrows
+    its pin still gets the larger window — the resulting shape drift is
+    the caller's re-pin signal, never a correctness hazard."""
     if consumed is not None:
         masks = {res: m for res, m in masks.items() if res in consumed}
+    if ext_pins is not None:
+        masks = {res: m for res, m in masks.items() if res in ext_pins}
     reses = sorted(masks.keys())
 
     def _mult(res):
@@ -148,7 +162,7 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
     lo: Dict[IntPair, list] = {
         res: list(_mask_bounds(np.asarray(masks[res], bool), _mult(res)))
         for res in reses}
-    if max_cover < 1.0:
+    if max_cover < 1.0 and ext_pins is None:
         def _cover(res):
             r_lo, r_hi, c_lo, c_hi = lo[res]
             _, wh = _fit_window(r_lo, r_hi, res[0], _mult(res))
@@ -159,8 +173,9 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
 
     def fit(res):
         r_lo, r_hi, c_lo, c_hi = lo[res]
-        r0, wh = _fit_window(r_lo, r_hi, res[0], _mult(res))
-        c0, ww = _fit_window(c_lo, c_hi, res[1], _mult(res))
+        pin = ext_pins.get(res, (0, 0)) if ext_pins else (0, 0)
+        r0, wh = _fit_window(r_lo, r_hi, res[0], _mult(res), pin[0])
+        c0, ww = _fit_window(c_lo, c_hi, res[1], _mult(res), pin[1])
         return (r0, c0, wh, ww)
 
     def grow(res, r_lo, r_hi, c_lo, c_hi) -> bool:
@@ -209,6 +224,7 @@ def build_plan(
     capacities: Optional[Dict[Tuple, int]] = None,
     layout: str = "tiles",
     chain_nesting: bool = True,
+    out_windows: Optional[Dict] = None,
     _path: Tuple = (),
     _memo: Optional[Dict] = None,
 ) -> Dict:
@@ -221,6 +237,15 @@ def build_plan(
       bucket_min: smallest index-buffer capacity bucket.
       capacities: optional {path: capacity} pinning buffer sizes (e.g. to
         reuse a compiled program across edits of different sizes).
+        Window layouts additionally accept ``("__winext__",)`` -> {(h, w):
+        (WH, WW)} canonical-window extent pins: the windowed resolution
+        set becomes exactly the pinned key set (possibly empty — all
+        tiles) and every window is at least its pinned extent, so plans
+        for different masks share leaf shapes (cross-session stacking;
+        parallel.PlanStack).
+      out_windows: optional dict the planner fills with the canonical
+        windows it used, {res: (r0, c0, WH, WW)} — callers derive extent
+        pins from it.
 
     Returns a nested dict mirroring the module tree with, at each Gather:
       ``indices`` [K, 2] int32, ``count`` int32 scalar, one
@@ -234,10 +259,15 @@ def build_plan(
         # the cross-resolution containment growth — at architectures
         # whose MACs concentrate in tiny high-channel levels (GauGAN's
         # 16x32x1024 head) the grown coarse windows cost real compute
+        cap_pins = (capacities or {}).get(("__winext__",))
+        ext_pins = None if cap_pins is None else {
+            tuple(int(i) for i in k): tuple(v) for k, v in cap_pins.items()}
         _memo["windows"] = _plan_canonical_windows(
             masks, consumed=_collect_window_reses(meta),
-            nesting=chain_nesting)
+            nesting=chain_nesting, ext_pins=ext_pins)
         _memo["chain_nesting"] = chain_nesting
+    if out_windows is not None and "windows" in _memo:
+        out_windows.update(_memo["windows"])
     plan: Dict = {}
     for name, node in meta.items():
         if _is_gather_record(node):
@@ -326,7 +356,7 @@ def build_plan(
             plan[name] = entry
         elif isinstance(node, Mapping):
             sub = build_plan(node, masks, bucket_min, capacities, layout,
-                             chain_nesting, _path + (name,), _memo)
+                             chain_nesting, None, _path + (name,), _memo)
             if sub:
                 plan[name] = sub
     return plan

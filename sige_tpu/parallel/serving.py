@@ -73,35 +73,75 @@ class PlanStack:
     """Per-session host plans with shared shape pins, stacked on a
     leading session axis.
 
-    Tile layout with pinned tile capacities AND pinned box shapes
-    (:func:`sige_tpu.nn.planner.plan_pins`) keeps every plan leaf's
-    shape identical across sessions, so S independent edit plans stack
-    into one batched pytree a vmapped sparse program consumes. A
-    session whose edit outgrows the pins triggers a re-pin to the
-    merged maximum and one rebuild of every plan (a single recompile,
-    after which the larger pins fit everyone again).
+    Pinned tile capacities AND pinned box/window shapes
+    (:func:`sige_tpu.nn.planner.plan_pins` + ``__winext__`` extent pins)
+    keep every plan leaf's shape identical across sessions, so S
+    independent edit plans stack into one batched pytree a vmapped
+    sparse program consumes. A session whose edit outgrows the pins
+    triggers a re-pin to the merged maximum and one rebuild of every
+    plan (a single recompile, after which the larger pins fit everyone
+    again).
 
-    Tile layout only: window layouts make the window extents themselves
-    compile-time shapes, which would have to be pinned to the worst case
-    across sessions anyway — that worst case IS the tile capacity model.
+    ``layout="window"`` stacks window-layout plans: window ORIGINS are
+    per-session device data, only the bucketed EXTENTS are compile-time
+    shapes — pinned to the across-session maximum per resolution, and
+    the windowed resolution set to the across-session intersection (a
+    session whose edit is too spread for a window at some resolution
+    forces everyone to tiles there; the hybrid fallback keeps chains
+    breaking cleanly at the seam). This keeps the per-session sparse
+    step on the same window-resident chains the single-session engine
+    measures — tile layout ran ~2.5x slower per session (round-3
+    serving capture).
+
     ``stacked()`` returns the SAME object until a ``set()`` invalidates
     it, so callers can key device uploads on identity."""
 
-    def __init__(self, meta_host, num_sessions: int, bucket_min: int = 2):
+    def __init__(self, meta_host, num_sessions: int, bucket_min: int = 2,
+                 layout: str = "tiles", chain_nesting: bool = True):
         self.meta = meta_host
         self.bucket_min = bucket_min
+        self.layout = layout
+        self.chain_nesting = chain_nesting if layout == "window" else False
         self.masks = [None] * num_sessions
         self.plans = [None] * num_sessions
+        self.windows = [None] * num_sessions  # {res: (r0,c0,WH,WW)} per session
         self.pins = {}
+        self.win_pins = None  # {res: (WH, WW)} once first merged
         self._stacked = None
 
-    def _build(self, masks):
-        return build_plan(self.meta, masks, self.bucket_min, self.pins,
-                          layout="tiles", chain_nesting=False)
+    def _caps(self):
+        caps = dict(self.pins)
+        if self.win_pins is not None:  # {} is meaningful: tiles everywhere
+            caps[("__winext__",)] = dict(self.win_pins)
+        return caps
+
+    def _build(self, masks, i=None):
+        wins = {}
+        plan = build_plan(self.meta, masks, self.bucket_min, self._caps(),
+                          layout=self.layout,
+                          chain_nesting=self.chain_nesting,
+                          out_windows=wins)
+        if i is not None:
+            self.windows[i] = wins
+        return plan
+
+    def _repin(self) -> None:
+        """Merge pins across all sessions' built plans and re-enforce."""
+        self.pins = merge_pins(*(plan_pins(p) for p in self.plans))
+        if self.layout == "window":
+            live = [w for w in self.windows if w is not None]
+            common = set(live[0])
+            for w in live[1:]:
+                common &= set(w)
+            self.win_pins = {
+                res: (max(w[res][2] for w in live),
+                      max(w[res][3] for w in live))
+                for res in common}
+        self.plans = [self._build(m, i) for i, m in enumerate(self.masks)]
 
     def set(self, i: int, masks) -> None:
         self.masks[i] = masks
-        self.plans[i] = self._build(masks)
+        self.plans[i] = self._build(masks, i)
         self._stacked = None
 
     def set_if_changed(self, i: int, masks) -> bool:
@@ -122,15 +162,19 @@ class PlanStack:
         missing = [i for i, p in enumerate(self.plans) if p is None]
         if missing:
             raise RuntimeError(f"set_masks() missing for sessions {missing}")
-        try:
-            self._stacked = jax.tree.map(lambda *ls: np.stack(ls),
-                                         *self.plans)
-        except ValueError:
-            self.pins = merge_pins(*(plan_pins(p) for p in self.plans))
-            self.plans = [self._build(m) for m in self.masks]
-            self._stacked = jax.tree.map(lambda *ls: np.stack(ls),
-                                         *self.plans)
-        return self._stacked
+        # pin -> rebuild iterates: enforcing a merged window extent can
+        # re-grow a NESTED coarser window past ITS pin (border clamping
+        # differs per session), re-drifting shapes. Extents only grow and
+        # are canvas-capped, so this terminates — 2 rounds in practice.
+        for _ in range(16):
+            try:
+                self._stacked = jax.tree.map(lambda *ls: np.stack(ls),
+                                             *self.plans)
+                return self._stacked
+            except ValueError:
+                self._repin()
+        raise RuntimeError("plan stacking failed to converge on shared "
+                           "shape pins (window nesting did not settle)")
 
 
 def upload_reuse(shard, prev_host, prev_dev, host):
@@ -170,13 +214,20 @@ class SessionServer:
     plan, input) vmapped, the session axis dp-sharded over the mesh —
     on a pod slice each session's step runs on its own chips, so one
     user's request does not queue behind another's.
+
+    ``layout="window"`` (default) rides the window-resident chains per
+    session — extents pinned to the across-session max so plans stack
+    (:class:`PlanStack`); pass ``layout="tiles"`` when sessions carry
+    scattered multi-region edits a bounding window would mostly waste.
     """
 
-    def __init__(self, module, params, mesh=None, bucket_min: int = 2):
+    def __init__(self, module, params, mesh=None, bucket_min: int = 2,
+                 layout: str = "window"):
         self.module = module
         self.mesh = mesh if mesh is not None else make_mesh(tp=1)
         self.params = replicate(self.mesh, params)
         self.bucket_min = bucket_min
+        self.layout = layout
         self.cache = None
         self.num_sessions = None
         self._meta_host = None
@@ -229,7 +280,8 @@ class SessionServer:
             # metadata depends only on shapes — identical across sessions
             self._meta_host = jax.tree.map(
                 lambda a: np.asarray(a)[0], jax.device_get(meta))
-        self._stack = PlanStack(self._meta_host, S, self.bucket_min)
+        self._stack = PlanStack(self._meta_host, S, self.bucket_min,
+                                layout=self.layout)
 
     def set_masks(self, i: int, masks) -> None:
         """Host planning for session ``i``'s edit mask pyramid."""

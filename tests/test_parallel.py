@@ -103,6 +103,67 @@ def test_session_server_per_session_masks():
 
 
 @pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 cpu devices")
+def test_session_server_window_layout_compact_edits():
+    """SessionServer with layout="window" (the default) on COMPACT
+    per-session edits: plans must stack on PINNED window extents (the
+    across-session max per resolution) and the vmapped window-chain
+    sparse step must match each session's single-device engine. The
+    spread-edit test above exercises the all-tiles fallback; this one
+    asserts windows actually survive the merge."""
+    from sige_tpu.core.masks import dilate_mask, downsample_mask
+    from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
+    from sige_tpu.nn import SIGEModel
+    from sige_tpu.parallel import SessionServer
+
+    cfg = DDPMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=(8,), resolution=32,
+                         sparse_resolution_threshold=32)
+    module = SIGEFusedUNet(cfg=cfg)
+    model = SIGEModel(module, bucket_min=1, layout="window")
+    rng = np.random.default_rng(11)
+    S = 4
+    x0 = rng.standard_normal((S, 1, 32, 32, 3)).astype(np.float32)
+    # compact boxes at different origins and slightly different sizes
+    boxes = [(2, 8, 4, 10), (20, 27, 18, 26), (10, 15, 22, 28), (5, 13, 2, 9)]
+    masks, x1 = [], x0.copy()
+    for i, (r0, r1, c0, c1) in enumerate(boxes):
+        m = np.zeros((32, 32), bool)
+        m[r0:r1, c0:c1] = True
+        x1[i] += (rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+                  * m[None, :, :, None])
+        masks.append(downsample_mask(dilate_mask(m, 2), min_res=4))
+    tb = np.zeros((S, 1), np.float32)
+
+    model.init(jax.random.key(0), jnp.asarray(x0[0]), jnp.asarray(tb[0]))
+    mesh = make_mesh(4, tp=1, devices=jax.devices("cpu")[:4])
+    server = SessionServer(module, model.params, mesh=mesh, bucket_min=1)
+    server.prime(jnp.asarray(x0), jnp.asarray(tb))
+    for i in range(S):
+        server.set_masks(i, masks[i])
+    y = np.asarray(server.step(jnp.asarray(x1), jnp.asarray(tb)))
+
+    # the merged layout kept real windows (not the tiles fallback)
+    stacked = server._stack.stacked()
+    assert server._stack.win_pins, "expected pinned window extents"
+    leaf_names = {k for g in jax.tree_util.tree_flatten_with_path(stacked)[0]
+                  for k in [jax.tree_util.keystr(g[0])]}
+    assert any("win_in" in n for n in leaf_names)
+
+    # oracle: the single-device engine planned under the SERVER's merged
+    # pins — identical plans, so the vmapped step must match ~exactly.
+    # (An unpinned solo plan would use smaller windows = a smaller
+    # recompute set; both satisfy the SIGE contract but differ at the
+    # truncation fringe.)
+    caps = server._stack._caps()
+    for i in range(S):
+        model.full(jnp.asarray(x0[i]), jnp.asarray(tb[i]))
+        model.set_masks(masks[i], capacities=caps)
+        want = np.asarray(model.sparse(jnp.asarray(x1[i]), jnp.asarray(tb[i])))
+        np.testing.assert_allclose(y[i], want, atol=1e-4,
+                                   err_msg=f"session {i}")
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8, reason="needs 8 cpu devices")
 def test_spatial_apply_decoder_matches_single_device():
     """sp: one big request with rows sharded over 8 devices produces the
     single-device dense decode bit-for-tolerance (XLA SPMD inserts the
