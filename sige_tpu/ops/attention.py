@@ -30,10 +30,30 @@ Execution:
   are zero-padded to a lane multiple (padding K columns adds nothing
   to QK^T; padded V columns are sliced off the output).
 
-Flash is opt-in (:func:`enable_flash_attention` or SIGE_FLASH_ATTN=1)
-until its win is measured on chip; calls silently fall back to naive
-when the toggle is off, the platform is not TPU, or sequence lengths
-don't tile (128-lane multiples).
+**Measured on chip (v5 lite, 2026-08-19, scripts/measure_tpu.py,
+iters=50): flash LOSES across the board — naive stays the default.**
+
+=================  ==============  ==============
+benchmark          naive           flash
+=================  ==============  ==============
+SD UNet dense      24.68 ms        28.85 ms
+SD UNet sparse      5.19 ms         7.30 ms
+VAE decoder dense  19.22 ms        21.35 ms
+VAE decoder sparse  4.12 ms         4.60 ms
+VAE encoder dense   8.17 ms         8.04 ms
+VAE encoder sparse  1.44 ms         2.77 ms
+=================  ==============  ==============
+
+Why: SD head dims are 40/80/160 — the kernel needs 128-lane multiples,
+so padding to 128/128/256 wastes 1.6-3.2x of the QK^T/PV MXU work,
+which swamps the HBM saving (flash did cut the dense U-Net step's peak
+HBM 2288 -> 1869 MB; the only marginal wall win was encoder-dense,
+whose single 4096-token attention has head dim 512 -> no padding).
+A bespoke Pallas kernel tiled for d=40/80 could revisit this; the
+stock kernel is a measured negative result, kept opt-in
+(:func:`enable_flash_attention` / SIGE_FLASH_ATTN=1) for future chips.
+Calls silently fall back to naive when the toggle is off, the platform
+is not TPU, or sequence lengths don't tile (128-lane multiples).
 """
 
 from __future__ import annotations
