@@ -196,9 +196,12 @@ def bench_vae_encoder(iters, dtype="bfloat16"):
 def bench_gaugan(iters):
     """GauGAN 512x256 fused SPADE at a ~1.4% semantic edit (fp32 — the
     reference's gaugan suite precision)."""
+    from sige_tpu.models.gaugan import SPADEGenConfig
     from sige_tpu.runners import GauGANRunConfig, GauGANRunner
 
-    runner = GauGANRunner()
+    # sige_tail=True: sparse conv_img tail (library default keeps the
+    # reference's dense tail; see SPADEGenConfig.sige_tail)
+    runner = GauGANRunner(SPADEGenConfig(sige_tail=True))
     rng = np.random.default_rng(0)
     H, W = 256, 512
     l0 = rng.integers(0, 34, (H, W))

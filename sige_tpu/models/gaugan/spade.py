@@ -70,6 +70,15 @@ class SPADEGenConfig:
     #: VAE chains; no reference counterpart — the reference pays a
     #: full-canvas join per block, sige_fused_spade_generator.py:146-176)
     window_chain: bool = True
+    #: sparse tail: run conv_img on the gathered window and scatter the
+    #: 3-channel result over the cached output instead of materializing
+    #: the full final feature map (the reference keeps this tail dense,
+    #: sige_fused_spade_generator.py:210). Profiled on TPU v5e: the dense
+    #: tail (full-canvas leaky+conv_img at 256x512 plus its layout
+    #: transposes and the chain materialize) was ~0.4 ms of a 1.8 ms
+    #: sparse step. Off by default for reference parity; the bench opts
+    #: in (same convention as the DDPM/PD/VAE sige_tail).
+    sige_tail: bool = False
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -471,8 +480,15 @@ class SIGEFusedSPADEGenerator(SIGEModule):
         if cfg.num_upsampling_layers == "most":
             self.up_4 = mk(1 * nf, nf // 2, 0)
             final_nc = nf // 2
+        self._tail_sparse = (cfg.sige_tail
+                             and cfg.main_block_size is not None)
         self.conv_img = SIGEConv2d(features=3, kernel_size=3, padding=1,
-                                   tile_input=False)
+                                   tile_input=self._tail_sparse)
+        if self._tail_sparse:
+            self.out_gather = Gather(block_size=cfg.main_block_size,
+                                     kernel_size=3, conv_stride=1,
+                                     conv_padding=1)
+            self.out_scatter = Scatter(gather=self.out_gather)
 
     def __call__(self, seg, ctx: SIGECtx):
         cfg = self.cfg
@@ -495,6 +511,30 @@ class SIGEFusedSPADEGenerator(SIGEModule):
         if cfg.num_upsampling_layers == "most":
             x = _chain_up2(x)
             x = self.up_4(x, seg, ctx)
+        if self._tail_sparse and ctx.mode != "dense":
+            return self._tail(x, ctx)
         x = _to_map(x)  # the chain's single materialize, before conv_img
         x = self.conv_img(_leaky(x), ctx)
         return jnp.tanh(x)
+
+    def _tail(self, x, ctx: SIGECtx):
+        """Sparse conv_img: gather the final window (leaky fused into the
+        extraction epilogue), conv VALID, scatter the 3-channel result
+        over the cached pre-tanh output (see SPADEGenConfig.sige_tail)."""
+        if ctx.mode == "full":
+            x = _to_map(x)
+            self.out_gather(x, ctx)  # records meta
+            out = self.conv_img(_leaky(x), ctx)
+            return jnp.tanh(self.out_scatter(out, ctx))
+        # sparse: extend a window-resident chain straight into the conv
+        # input window; otherwise gather from the materialized map
+        if isinstance(x, WindowState) and self.out_gather.planned_window():
+            ext = window_chain_extend(
+                x.win, x.org, x.cache5, x.cache_id,
+                self.out_gather.get_variable("sige", "win_in"),
+                self.out_gather.get_variable("sige", "win_edge"),
+                None, None, "leaky")
+        else:
+            ext = self.out_gather(_leaky(_to_map(x)), ctx)
+        out = self.conv_img(ext, ctx)
+        return jnp.tanh(self.out_scatter(out, ctx))

@@ -31,6 +31,7 @@ _ACTIVATIONS = {
     "identity": lambda x: x,
     "swish": lambda x: x * jax.nn.sigmoid(x),
     "relu": jax.nn.relu,
+    "leaky": lambda x: jax.nn.leaky_relu(x, 0.2),
     "sigmoid": jax.nn.sigmoid,
     "tanh": jnp.tanh,
 }

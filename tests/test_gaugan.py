@@ -127,3 +127,42 @@ def test_sub_mobile_sparse_on_original_is_exact():
 def test_decode_config():
     from sige_tpu.models.gaugan import decode_config
     assert decode_config("32_32_32_48_32_24_24_32") == [32, 32, 32, 48, 32, 24, 24, 32]
+
+
+def test_spade_sige_tail_matches_dense_tail():
+    """sige_tail=True (sparse conv_img over the gathered window scattered
+    onto the cached output) must reproduce the dense-tail generator's full
+    output exactly, be exact in sparse mode on the original semantics, and
+    on an edit agree with the dense tail everywhere except the usual SIGE
+    receptive-field ring outside the scatter coverage (the same
+    approximation contract as every internal Scatter)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    H, W = 32, 64
+    l0, l1 = make_sems(rng, H, W, TINY.semantic_nc - 1)
+    cfgR = GauGANRunConfig(input_nc=TINY.semantic_nc - 1, use_instance=True,
+                           mask_dilate_radius=1, downsample_dilate_radius=1)
+    outs = {}
+    for tail in (False, True):
+        r = GauGANRunner(dataclasses.replace(TINY, sige_tail=tail), cfgR,
+                         seed=0, bucket_min=1)
+        s0 = r.preprocess_input(l0)
+        s1 = r.preprocess_input(l1)
+        x0, x1, mask = r.preprocess(s0, s1)
+        y_full = r.model.full(x0)
+        y_sparse = r.model.sparse(x1)
+        if tail:  # exactness on the original input (scatter over cache)
+            r.model.full(x0)
+            y_same = r.model.sparse(x0)
+            np.testing.assert_allclose(np.asarray(y_same),
+                                       np.asarray(y_full), atol=1e-4)
+        outs[tail] = (np.asarray(y_full), np.asarray(y_sparse),
+                      np.asarray(mask))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=1e-5)
+    d = np.abs(outs[True][1] - outs[False][1]).max(axis=-1)[0]
+    mask = outs[True][2]
+    # exact on edited (mask-true) pixels; ring-bounded elsewhere
+    assert d[mask].max() < 1e-4, d[mask].max()
+    assert (d > 0.01).mean() < 0.05
+    assert d.mean() < 5e-3
