@@ -52,6 +52,7 @@ from ...nn.module import (
     SIGEModule,
     WindowState,
     _slotted_cache,
+    chain_rel,
     sow_dense_macs,
     sow_macs,
 )
@@ -299,10 +300,10 @@ class SIGEResnetBlock(SIGEModule):
         return h + xs
 
     # -- window-resident sparse path (mirrors vae.py _chain_window) ------
-    def _extend_part(self, p, meta, edge):
+    def _extend_part(self, p, meta, edge, rel=None):
         if isinstance(p, WindowState):
             return window_chain_extend(p.win, p.org, p.cache5, p.cache_id,
-                                       meta, edge)
+                                       meta, edge, rel=rel)
         return window_gather(p, meta, edge)
 
     def _part_window(self, p, org, shape):
@@ -321,8 +322,9 @@ class SIGEResnetBlock(SIGEModule):
         parts = x if isinstance(x, tuple) else (x,)
 
         _, s1, b1 = self.norm1(None, ctx)
+        rel = chain_rel(g)
         ext = jnp.concatenate(
-            [self._extend_part(p, meta, edge) for p in parts], axis=-1)
+            [self._extend_part(p, meta, edge, rel) for p in parts], axis=-1)
         ext = window_epilogue(ext, edge, s1, b1, "swish")
         h = self.conv1(ext, ctx)
         _, s2, b2 = self.norm2(h, ctx)  # cached affine includes temb shift
@@ -660,7 +662,7 @@ class SIGEFusedUNet(SIGEModule):
                 h.win, h.org, h.cache5, h.cache_id,
                 self.out_gather.get_variable("sige", "win_in"),
                 self.out_gather.get_variable("sige", "win_edge"),
-                sc, sh, "swish")
+                sc, sh, "swish", rel=chain_rel(self.out_gather))
         else:
             ext = self.out_gather(_to_map(h), ctx, scale=sc, shift=sh)
         out = self.conv_out(ext, ctx)

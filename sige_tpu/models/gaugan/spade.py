@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from ...nn.module import (
     Gather,
+    chain_rel,
     Scatter,
     ScatterGather,
     ScatterWithBlockResidual,
@@ -145,8 +146,13 @@ def _seg_window(seg: jnp.ndarray, out_res: Tuple[int, int],
     if Hs % oh or Ws % ow:
         return window_gather(nearest_resize(seg, (oh, ow)), meta, edge)
     sr, sc = Hs // oh, Ws // ow
-    sh, sw = min(EH, oh), min(EW, ow)
     zero = jnp.int32(0)
+    if meta.shape[0] == 2:  # fast in-image form (ops/window.py _fast)
+        w = jax.lax.dynamic_slice(
+            seg, (zero, meta[0] * sr, meta[1] * sc, zero),
+            (B, EH * sr, EW * sc, C))
+        return w[:, ::sr, ::sc]
+    sh, sw = min(EH, oh), min(EW, ow)
     w = jax.lax.dynamic_slice(
         seg, (zero, meta[0] * sr, meta[1] * sc, zero),
         (B, sh * sr, sw * sc, C))
@@ -322,7 +328,8 @@ class SIGEFusedSPADEResnetBlock(SIGEModule):
                                            scale, shift)
         if isinstance(x, WindowState):
             return window_chain_extend(x.win, x.org, x.cache5, x.cache_id,
-                                       meta, edge, scale, shift)
+                                       meta, edge, scale, shift,
+                                       rel=chain_rel(g))
         return window_gather(x, meta, edge, scale, shift)
 
     def _input_window(self, x, org, shape):
@@ -533,7 +540,7 @@ class SIGEFusedSPADEGenerator(SIGEModule):
                 x.win, x.org, x.cache5, x.cache_id,
                 self.out_gather.get_variable("sige", "win_in"),
                 self.out_gather.get_variable("sige", "win_edge"),
-                None, None, "leaky")
+                None, None, "leaky", rel=chain_rel(self.out_gather))
         else:
             ext = self.out_gather(_leaky(_to_map(x)), ctx)
         out = self.conv_img(ext, ctx)

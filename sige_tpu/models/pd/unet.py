@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ...nn.module import (
     Gather,
     Scatter,
+    chain_rel,
     ScatterGather,
     ScatterWithBlockResidual,
     SIGEConv2d,
@@ -246,7 +247,8 @@ class SIGEPDResnetBlock(SIGEModule):
             for p in parts:
                 if isinstance(p, WindowState):
                     exts.append(window_chain_extend(
-                        p.win, p.org, p.cache5, p.cache_id, meta, edge))
+                        p.win, p.org, p.cache5, p.cache_id, meta, edge,
+                        rel=chain_rel(g)))
                 else:
                     exts.append(window_gather(p, meta, edge))
             ext = jnp.concatenate(exts, axis=-1)
@@ -490,7 +492,7 @@ class SIGEPDUNet(SIGEModule):
                 h.win, h.org, h.cache5, h.cache_id,
                 self.out_gather.get_variable("sige", "win_in"),
                 self.out_gather.get_variable("sige", "win_edge"),
-                sc, sh, "swish")
+                sc, sh, "swish", rel=chain_rel(self.out_gather))
         else:
             ext = self.out_gather(_to_map(h), ctx, scale=sc, shift=sh)
         out = self.conv_out(ext, ctx)

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from ...nn.module import (
     Gather,
+    chain_rel,
     Scatter,
     ScatterGather,
     ScatterWithBlockResidual,
@@ -233,10 +234,10 @@ class SIGESDResBlock(SIGEModule):
         return h + xs
 
     # -- window-resident sparse path (mirrors ddpm/unet.py) --------------
-    def _extend_part(self, p, meta, edge):
+    def _extend_part(self, p, meta, edge, rel=None):
         if isinstance(p, WindowState):
             return window_chain_extend(p.win, p.org, p.cache5, p.cache_id,
-                                       meta, edge)
+                                       meta, edge, rel=rel)
         return window_gather(p, meta, edge)
 
     def _part_window(self, p, org, shape):
@@ -255,8 +256,9 @@ class SIGESDResBlock(SIGEModule):
         parts = x if isinstance(x, tuple) else (x,)
 
         _, s1, b1 = self.norm1(None, ctx)
+        rel = chain_rel(g)
         ext = jnp.concatenate(
-            [self._extend_part(p, meta, edge) for p in parts], axis=-1)
+            [self._extend_part(p, meta, edge, rel) for p in parts], axis=-1)
         ext = window_epilogue(ext, edge, s1, b1, "swish")
         h = self.conv1(ext, ctx)
         _, s2, b2 = self.norm2(h, ctx)  # cached affine includes temb shift

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ...nn.module import (
     Gather,
+    chain_rel,
     Scatter,
     ScatterGather,
     ScatterWithBlockResidual,
@@ -213,7 +214,8 @@ class SIGEVAEResnetBlock(SIGEModule):
         _, s1, b1 = self.norm1(None, ctx)
         if isinstance(x, WindowState):
             ext = window_chain_extend(x.win, x.org, x.cache5, x.cache_id,
-                                      meta, edge, s1, b1, "swish")
+                                      meta, edge, s1, b1, "swish",
+                                      rel=chain_rel(g))
         else:
             ext = window_gather(x, meta, edge, s1, b1, "swish")
         h = self.conv1(ext, ctx)
@@ -696,7 +698,7 @@ class SIGEDecoder(SIGEModule):
                 h.win, h.org, h.cache5, h.cache_id,
                 self.out_gather.get_variable("sige", "win_in"),
                 self.out_gather.get_variable("sige", "win_edge"),
-                sc, sh, "swish")
+                sc, sh, "swish", rel=chain_rel(self.out_gather))
         else:
             ext = self.out_gather(_ensure_map(h), ctx, scale=sc, shift=sh)
         out = self.conv_out(ext, ctx)

@@ -133,6 +133,17 @@ class WindowState:
                                         self.win, self.org)
 
 
+def chain_rel(gather: "Gather"):
+    """Static carried-window offset inside ``gather``'s extraction window
+    for :func:`~sige_tpu.ops.window.window_chain_extend`'s fused overlay:
+    for a stride-1 consumer it is exactly the conv offset (rel = org -
+    v_org = offset, edit-independent). Returns None for strided gathers,
+    whose rel depends on the plan — the op then falls back to the
+    dynamic-offset overlay."""
+    g = gather.geom
+    return g.offset if g.conv_stride == (1, 1) else None
+
+
 class Gather(SIGEModule):
     """Records geometry/resolution in full mode; extracts the active tile
     batch (with optional fused norm epilogue) in sparse mode

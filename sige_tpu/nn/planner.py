@@ -207,14 +207,30 @@ def _plan_canonical_windows(masks: Mapping[IntPair, np.ndarray],
     return {res: fit(res) for res in reses}
 
 
-def _window_meta(idx0: IntPair, ext: IntPair, limit: IntPair):
+def _window_meta(idx0: IntPair, ext: IntPair, limit: IntPair,
+                 static_fast: bool = True):
     """Clamp/roll metadata + in-image edge mask for a (possibly virtual)
-    window origin (see ops/window.py _extract_window)."""
+    window origin (see ops/window.py _extract_window).
+
+    When the window is fully in-image and ``static_fast`` is on, the meta
+    ships in the 2-form ``int32[2]`` (plain start) — the ops then skip
+    the clamp/roll/edge machinery at trace time (ops/window.py _fast).
+    The edge mask is still emitted (all-True) as the ops' static shape
+    source. Pinned plan stacking passes ``static_fast=False``: sessions
+    whose edits sit at different distances from the border must share one
+    leaf form to stack on a session axis (parallel.PlanStack)."""
     cl = [max(min(idx0[a], limit[a] - ext[a]), 0) for a in (0, 1)]
-    meta = np.array([cl[0], cl[1], cl[0] - idx0[0], cl[1] - idx0[1]], np.int32)
     er = (np.arange(ext[0]) + idx0[0] >= 0) & (np.arange(ext[0]) + idx0[0] < limit[0])
     ec = (np.arange(ext[1]) + idx0[1] >= 0) & (np.arange(ext[1]) + idx0[1] < limit[1])
-    return meta, er[:, None] & ec[None, :]
+    edge = er[:, None] & ec[None, :]
+    if static_fast and all(
+            0 <= idx0[a] and idx0[a] + ext[a] <= limit[a] for a in (0, 1)):
+        # fully in-image (NOT merely unclamped: an extent wider than the
+        # canvas clamps to the same origin while still poking out the far
+        # side — that case needs the 4-form pad/edge machinery)
+        return np.array([cl[0], cl[1]], np.int32), edge
+    meta = np.array([cl[0], cl[1], cl[0] - idx0[0], cl[1] - idx0[1]], np.int32)
+    return meta, edge
 
 
 def build_plan(
@@ -266,6 +282,9 @@ def build_plan(
             masks, consumed=_collect_window_reses(meta),
             nesting=chain_nesting, ext_pins=ext_pins)
         _memo["chain_nesting"] = chain_nesting
+        # pinned (stackable) plans keep the uniform 4-form metas so
+        # sessions with border and interior edits share leaf shapes
+        _memo["static_fast"] = ext_pins is None
     if out_windows is not None and "windows" in _memo:
         out_windows.update(_memo["windows"])
     plan: Dict = {}
@@ -390,9 +409,10 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
     r0, c0, WH, WW = _memo["windows"][ores]
 
     # gather input window (conv input extent incl. halo)
+    fast = _memo.get("static_fast", True)
     ext = ((WH - 1) * sh + kh, (WW - 1) * sw + kw)
     v_org = (r0 * sh - oh, c0 * sw - ow)
-    meta, edge = _window_meta(v_org, ext, in_res)
+    meta, edge = _window_meta(v_org, ext, in_res, fast)
     entry["win_in"] = meta
     entry["win_edge"] = edge
     entry["win_org"] = np.array([r0, c0], np.int32)
@@ -431,7 +451,7 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
     if (_memo.get("chain_nesting", True) and (sh, sw) == (1, 1)
             and "prepool" in node and dblr in _memo["windows"]):
         meta2, edge2 = _window_meta((2 * v_org[0], 2 * v_org[1]),
-                                    (2 * ext[0], 2 * ext[1]), dblr)
+                                    (2 * ext[0], 2 * ext[1]), dblr, fast)
         entry["wdnp_in"] = meta2
         entry["wdnp_edge"] = edge2
 
@@ -446,7 +466,7 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
     for gres in _reses("sg_res"):
         assert (sh, sw) == (1, 1), "fused re-gather requires stride 1"
         ext2 = (WH + kh - 1, WW + kw - 1)
-        meta2, edge2 = _window_meta((r0 - oh, c0 - ow), ext2, gres)
+        meta2, edge2 = _window_meta((r0 - oh, c0 - ow), ext2, gres, fast)
         entry[f"wsg_in_{gres[0]}x{gres[1]}"] = meta2
         entry[f"wsg_edge_{gres[0]}x{gres[1]}"] = edge2
         entry[f"wsg_cov_{gres[0]}x{gres[1]}"] = cov

@@ -33,15 +33,30 @@ import jax.numpy as jnp
 from .gather import _broadcast_param, apply_epilogue
 
 
+def _fast(meta: jnp.ndarray) -> bool:
+    """Plan-static fast-form dispatch: the planner ships ``int32[2]``
+    metas (a plain in-image window start) when the window never clamps
+    at the canvas border — the overwhelmingly common case — and the full
+    ``int32[4]`` clamp/roll form otherwise. Shape is trace-time static,
+    so one leaf encodes the branch with zero device-side scalar math
+    (profiled on TPU v5e: the clamp/roll/edge machinery was ~1000 tiny
+    scalar+roll ops per sparse step; see STATUS perf notes)."""
+    return meta.shape[0] == 2
+
+
 def _extract_window(x: jnp.ndarray, meta: jnp.ndarray,
                     edge: jnp.ndarray) -> jnp.ndarray:
     """[B, EH, EW, C] window of ``x`` at the planned (possibly virtual /
     out-of-bounds) origin. ``meta`` int32[4] = (clamped_r, clamped_c,
-    roll_r, roll_c); ``edge`` bool[EH, EW] marks in-image pixels."""
+    roll_r, roll_c) — or the fast int32[2] in-image form (see
+    :func:`_fast`); ``edge`` bool[EH, EW] marks in-image pixels."""
     B, H, W, C = x.shape
     EH, EW = edge.shape
-    sh, sw = min(EH, H), min(EW, W)
     zero = jnp.int32(0)
+    if _fast(meta):
+        return jax.lax.dynamic_slice(x, (zero, meta[0], meta[1], zero),
+                                     (B, EH, EW, C))
+    sh, sw = min(EH, H), min(EW, W)
     w = jax.lax.dynamic_slice(x, (zero, meta[0], meta[1], zero),
                               (B, sh, sw, C))
     if sh < EH or sw < EW:
@@ -51,9 +66,13 @@ def _extract_window(x: jnp.ndarray, meta: jnp.ndarray,
 
 
 def _epilogue(z, edge, scale, shift, activation, activation_first):
+    """Fused scale/shift/activation; ``edge=None`` skips the out-of-image
+    re-zeroing (fast windows are fully in-image)."""
     scale = _broadcast_param(scale, z)
     shift = _broadcast_param(shift, z)
     z = apply_epilogue(z, scale, shift, activation, activation_first)
+    if edge is None:
+        return z
     return jnp.where(edge[None, :, :, None], z, jnp.zeros((), z.dtype))
 
 
@@ -81,7 +100,8 @@ def window_gather(
     extract the conv input window (with halo), fuse the folded-norm
     epilogue, zero the out-of-image ring."""
     w = _extract_window(x, meta, edge)
-    return _epilogue(w, edge, scale, shift, activation, activation_first)
+    return _epilogue(w, None if _fast(meta) else edge, scale, shift,
+                     activation, activation_first)
 
 
 @partial(jax.jit, static_argnames=("pad", "activation", "activation_first"))
@@ -105,21 +125,25 @@ def window_scatter_gather(
     sits at that static offset inside the ring window.
     """
     base = _extract_window(cache, meta, edge)
-    return _wsg_tail(base, h_win, cov, pad, edge, scale, shift,
+    return _wsg_tail(base, h_win, cov, pad,
+                     None if _fast(meta) else edge, scale, shift,
                      activation, activation_first)
 
 
 def _wsg_tail(base, h_win, cov, pad, edge, scale, shift, activation,
               activation_first):
+    # static-position compose: pad the fresh window and its coverage mask
+    # to the ring-window extent and select — one fused elementwise pass
+    # over [EH, EW] instead of a slice + materialize + update-copy (the
+    # DUS-rooted fusions this replaces measured 76-163us each at 146^2
+    # on TPU v5e)
     pr, pc = pad
     WH, WW = cov.shape
-    inter = jax.lax.slice(
-        base, (0, pr, pc, 0),
-        (base.shape[0], pr + WH, pc + WW, base.shape[3]))
-    mixed = jnp.where(cov[None, :, :, None], h_win.astype(base.dtype), inter)
-    z = jax.lax.dynamic_update_slice(
-        base, mixed, (jnp.int32(0), jnp.int32(pr), jnp.int32(pc),
-                      jnp.int32(0)))
+    B, EH, EW, C = base.shape
+    covp = jnp.pad(cov, ((pr, EH - WH - pr), (pc, EW - WW - pc)))
+    hp = jnp.pad(h_win.astype(base.dtype),
+                 ((0, 0), (pr, EH - WH - pr), (pc, EW - WW - pc), (0, 0)))
+    z = jnp.where(covp[None, :, :, None], hp, base)
     return _epilogue(z, edge, scale, shift, activation, activation_first)
 
 
@@ -140,7 +164,8 @@ def window_scatter_gather_slot(
     """:func:`window_scatter_gather` reading the ring straight from the
     slotted cache variable (avoids the full-canvas slot-squeeze copy)."""
     base = _extract_window_slot(cache5, cache_id, meta, edge)
-    return _wsg_tail(base, h_win, cov, pad, edge, scale, shift,
+    return _wsg_tail(base, h_win, cov, pad,
+                     None if _fast(meta) else edge, scale, shift,
                      activation, activation_first)
 
 
@@ -196,8 +221,12 @@ def _extract_window_slot(cache5: jnp.ndarray, cache_id, meta: jnp.ndarray,
     squeezed slot feeding a window op costs a full-canvas layout copy)."""
     S, B, H, W, C = cache5.shape
     EH, EW = edge.shape
-    sh, sw = min(EH, H), min(EW, W)
     zero = jnp.int32(0)
+    if _fast(meta):
+        return jax.lax.dynamic_slice(
+            cache5, (jnp.int32(cache_id), zero, meta[0], meta[1], zero),
+            (1, B, EH, EW, C))[0]
+    sh, sw = min(EH, H), min(EW, W)
     w = jax.lax.dynamic_slice(
         cache5, (jnp.int32(cache_id), zero, meta[0], meta[1], zero),
         (1, B, sh, sw, C))[0]
@@ -219,7 +248,7 @@ def window_slot_window(cache5: jnp.ndarray, cache_id, org: jnp.ndarray,
         (1, B, WH, WW, C))[0]
 
 
-@partial(jax.jit, static_argnames=("activation", "activation_first"))
+@partial(jax.jit, static_argnames=("activation", "activation_first", "rel"))
 def window_chain_extend(
     win: jnp.ndarray,
     org: jnp.ndarray,
@@ -231,16 +260,41 @@ def window_chain_extend(
     shift: Optional[jnp.ndarray] = None,
     activation: str = "identity",
     activation_first: bool = False,
+    rel: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Chain analogue of :func:`window_gather`: rebuild the extraction
     window of the virtual map (``cache5`` slot overlaid by the carried
-    ``win`` at canonical origin ``org``) and fuse the norm epilogue."""
+    ``win`` at canonical origin ``org``) and fuse the norm epilogue.
+
+    ``rel`` (static (pr, pc)) is the carried window's offset inside the
+    extraction window when the caller knows it at trace time — for a
+    stride-1 consumer it is exactly the conv offset, independent of the
+    edit (rel = org - v_org = oh since v_org = org - oh). With a fast
+    2-form ``meta`` the overlay then becomes a statically-padded select
+    that fuses into the epilogue instead of an update-copy."""
     ext = _extract_window_slot(cache5, cache_id, meta, edge)
-    rel_r = org[0] - (meta[0] - meta[2])
-    rel_c = org[1] - (meta[1] - meta[3])
+    if _fast(meta) and rel is not None:
+        B, EH, EW, C = ext.shape
+        WH, WW = win.shape[1:3]
+        pr, pc = rel
+        assert 0 <= pr and pr + WH <= EH and 0 <= pc and pc + WW <= EW, (
+            (rel, win.shape, ext.shape))
+        covp = jnp.zeros((EH, EW), bool).at[pr:pr + WH, pc:pc + WW].set(True)
+        wp = jnp.pad(win.astype(ext.dtype),
+                     ((0, 0), (pr, EH - WH - pr), (pc, EW - WW - pc), (0, 0)))
+        ext = jnp.where(covp[None, :, :, None], wp, ext)
+        return _epilogue(ext, None, scale, shift, activation,
+                         activation_first)
+    if _fast(meta):
+        rel_r = org[0] - meta[0]
+        rel_c = org[1] - meta[1]
+    else:
+        rel_r = org[0] - (meta[0] - meta[2])
+        rel_c = org[1] - (meta[1] - meta[3])
     ext = jax.lax.dynamic_update_slice(
         ext, win.astype(ext.dtype), (jnp.int32(0), rel_r, rel_c, jnp.int32(0)))
-    return _epilogue(ext, edge, scale, shift, activation, activation_first)
+    return _epilogue(ext, None if _fast(meta) else edge, scale, shift,
+                     activation, activation_first)
 
 
 @partial(jax.jit, static_argnames=("activation", "activation_first"))
@@ -272,6 +326,15 @@ def window_chain_extend_up2(
         win2 = jnp.pad(win2, ((0, 0), (0, max(EH - WH2, 0)),
                               (0, max(EW - WW2, 0)), (0, 0)))
         WH2, WW2 = max(WH2, EH), max(WW2, EW)
+    if _fast(meta):
+        # in-image extraction window + the planner's containment
+        # guarantee (wup_ok) make the raw offset valid as-is: one slice,
+        # no clamp/roll/edge machinery
+        ext = jax.lax.dynamic_slice(
+            win2, (jnp.int32(0), meta[0] - org2[0], meta[1] - org2[1],
+                   jnp.int32(0)), (B, EH, EW, C))
+        return _epilogue(ext, None, scale, shift, activation,
+                         activation_first)
     v_r = meta[0] - meta[2]  # extraction window's virtual origin
     v_c = meta[1] - meta[3]
     raw_r = v_r - org2[0]

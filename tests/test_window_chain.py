@@ -320,3 +320,40 @@ def test_sd_unet_chain_matches_nonchain_on_edit():
         xe = x.at[:, 12:16, 14:20].add(0.5)
         outs.append(np.asarray(model.sparse(xe, t, c)))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
+def _plan_leaf_shapes(plan, key, out=None, path=()):
+    out = {} if out is None else out
+    for k, v in plan.items():
+        if isinstance(v, dict):
+            _plan_leaf_shapes(v, key, out, path + (k,))
+        elif k == key:
+            out[path] = tuple(np.asarray(v).shape)
+    return out
+
+
+def test_fast_meta_form_engages_interior_and_border_still_exact():
+    """Interior edits must plan 2-form (fast, rollless) window metas —
+    guarding against the static-fast path silently failing closed — and
+    a border-touching edit must fall back to the 4-form clamp/roll path
+    with unchanged exactness on the original input."""
+    # interior edit: every win_in should be the fast int32[2] form
+    model, z = _decoder(True)
+    full = model.full(z)
+    model.set_masks(downsample_mask(_mask64(), min_res=4))
+    shapes = _plan_leaf_shapes(model._plan_host, "win_in")
+    assert shapes and all(s == (2,) for s in shapes.values()), shapes
+    sp = model.sparse(z)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(full), atol=2e-4)
+
+    # corner edit: the halo pokes out of the canvas somewhere -> at least
+    # one legacy 4-form meta; exactness unchanged
+    model2, z2 = _decoder(True)
+    full2 = model2.full(z2)
+    corner = np.zeros((64, 64), bool)
+    corner[0:10, 0:12] = True
+    model2.set_masks(downsample_mask(dilate_mask(corner, 4), min_res=4))
+    shapes2 = _plan_leaf_shapes(model2._plan_host, "win_in")
+    assert any(s == (4,) for s in shapes2.values()), shapes2
+    sp2 = model2.sparse(z2)
+    np.testing.assert_allclose(np.asarray(sp2), np.asarray(full2), atol=2e-4)
