@@ -45,6 +45,7 @@ from ...nn.module import (
     WindowState,
 )
 from ...ops.window import (
+    _fast,
     window_chain_extend,
     window_chain_extend_up2,
     window_gather,
@@ -77,9 +78,10 @@ class SPADEGenConfig:
     #: sige_fused_spade_generator.py:210). Profiled on TPU v5e: the dense
     #: tail (full-canvas leaky+conv_img at 256x512 plus its layout
     #: transposes and the chain materialize) was ~0.4 ms of a 1.8 ms
-    #: sparse step. Off by default for reference parity; the bench opts
-    #: in (same convention as the DDPM/PD/VAE sige_tail).
-    sige_tail: bool = False
+    #: sparse step. Default ON (the benched library configuration,
+    #: equivalence-tested against the dense tail); reference-parity
+    #: suites pin False (same convention as the DDPM/PD/VAE sige_tail).
+    sige_tail: bool = True
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -147,7 +149,7 @@ def _seg_window(seg: jnp.ndarray, out_res: Tuple[int, int],
         return window_gather(nearest_resize(seg, (oh, ow)), meta, edge)
     sr, sc = Hs // oh, Ws // ow
     zero = jnp.int32(0)
-    if meta.shape[0] == 2:  # fast in-image form (ops/window.py _fast)
+    if _fast(meta):  # plan-static in-image form (one shared definition)
         w = jax.lax.dynamic_slice(
             seg, (zero, meta[0] * sr, meta[1] * sc, zero),
             (B, EH * sr, EW * sc, C))

@@ -74,8 +74,9 @@ class PDUNetConfig:
     #: down-resblocks (pre-pool doubled extraction windows, planner
     #: ``wdnp_in`` products).
     window_chain: bool = True
-    #: fold norm_out + window conv_out (see ddpm unet sige_tail)
-    sige_tail: bool = False
+    #: fold norm_out + window conv_out (see ddpm unet sige_tail; default
+    #: ON — the benched library configuration; parity suites pin False)
+    sige_tail: bool = True
     cache_slots: int = 1
 
 

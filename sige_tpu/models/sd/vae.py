@@ -95,8 +95,9 @@ class SDVAEConfig:
     #: pass, window/tile the conv_out). The reference's SD decoder keeps
     #: a dense live-stat tail; freezing the original image's statistics
     #: matches its own DDPM/GauGAN norm-fold semantics and removes the
-    #: last full-resolution dense compute from the sparse path.
-    sige_tail: bool = False
+    #: last full-resolution dense compute from the sparse path. Default
+    #: ON (the benched library configuration); parity suites pin False.
+    sige_tail: bool = True
     cache_slots: int = 1
 
 

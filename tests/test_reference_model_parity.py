@@ -336,6 +336,7 @@ def test_gaugan_sige_fused_spade_parity(rng):
     cfg = SPADEGenConfig(
         ngf=8, semantic_nc=6, crop_size=64, aspect_ratio=2.0,
         num_upsampling_layers="normal", num_sparse_layers=5,
+        sige_tail=False,  # reference keeps a live dense conv_img tail
     )
     params = convert_gaugan_fused_spade(
         {k: v.numpy() for k, v in ckpt.items()}, num_upsampling_layers="normal")
@@ -480,7 +481,8 @@ def test_sd_sige_vae_parity(rng):
 
     cfg = SDVAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
                       attn_resolutions=(), in_channels=3, out_ch=3,
-                      z_channels=4, resolution=R, num_groups=32)
+                      z_channels=4, resolution=R, num_groups=32,
+                      sige_tail=False)  # reference keeps a live dense tail
 
     # --- encoder ---
     with torch.no_grad():

@@ -62,7 +62,9 @@ def test_window_ddpm_tracks_dense_on_edit_and_matches_tiles():
 
     yw, yd = run("window")
     err = np.abs(yw - yd)
-    assert err.max() < 0.15, err.max()
+    # approximate by design: folded norms AND (since sige_tail became the
+    # default) the frozen-stat tail use original-image statistics
+    assert err.max() < 0.2, err.max()
     yt, _ = run("tiles")
     # window freshens a (slightly) different superset than tiles; both
     # must be close to dense and to each other
