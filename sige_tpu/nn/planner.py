@@ -54,8 +54,30 @@ def _is_gather_record(node: Mapping) -> bool:
 
 def _fit_window(lo: int, hi: int, limit: int, mult: int,
                 min_size: int = 0) -> Tuple[int, int]:
-    size = min(max(-(-(hi - lo) // mult) * mult, min_size), limit)
-    return max(min(int(lo), limit - size), 0), size
+    """Bucket [lo, hi) into a window whose size is ≡ -2 (mod mult), so a
+    stride-1 3x3 consumer's conv INPUT (size + 2 halo) lands on the
+    sublane lattice. Plain mult-multiples put every halo-extended tensor
+    2 off the (8,128) tile grid, and XLA answers with per-step layout
+    copies/transposes — measured on chip (v5e, DDPM church256 sparse
+    step): 0.945 ms/step of copy/transpose (63.7%% of sync busy) at
+    mult-multiple sizes vs 1.56 -> 1.17 ms/step whole-step with this
+    lattice (round-5 A/B, same MACs). ``min_size`` (extent pins) comes
+    from previous fits, i.e. the same lattice, so the max stays on it.
+
+    The start anchors at ``lo`` but nudges into [1, limit-size-1] when
+    the coverage range allows: a window that nearly fills the canvas
+    would otherwise sit flush against a border and push its stride-1
+    conv halo out of image, demoting every consumer to the 4-form
+    clamp/roll metas (ops/window.py _fast) even for an interior edit."""
+    size = min(max(-(-(hi - lo + 2) // mult) * mult - 2, min_size), limit)
+    s_min = max(hi - size, 0)          # still covers [lo, hi)
+    s_max = min(int(lo), limit - size)
+    start = s_max
+    if s_min <= s_max and size + 2 <= limit:
+        h_min, h_max = max(s_min, 1), min(s_max, limit - size - 1)
+        if h_min <= h_max:  # a +-1-halo-in-image start exists
+            start = h_max
+    return max(start, 0), size
 
 
 def _mask_bounds(mask: np.ndarray, mult: int):
@@ -282,9 +304,15 @@ def build_plan(
             masks, consumed=_collect_window_reses(meta),
             nesting=chain_nesting, ext_pins=ext_pins)
         _memo["chain_nesting"] = chain_nesting
-        # pinned (stackable) plans keep the uniform 4-form metas so
-        # sessions with border and interior edits share leaf shapes
-        _memo["static_fast"] = ext_pins is None
+        # meta form for pinned (stackable) plans: ``("__metafast__",)``
+        # True keeps the 2-form fast metas (all sessions' windows are
+        # interior — the common case; parallel.PlanStack starts here and
+        # falls back on the first cross-session form mismatch); False
+        # forces the uniform 4-form so border and interior edits share
+        # leaf shapes. Unpinned solo plans always take the fast form.
+        cap_fast = (capacities or {}).get(("__metafast__",))
+        _memo["static_fast"] = (ext_pins is None if cap_fast is None
+                                else bool(cap_fast))
     if out_windows is not None and "windows" in _memo:
         out_windows.update(_memo["windows"])
     plan: Dict = {}
@@ -417,6 +445,25 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
     entry["win_edge"] = edge
     entry["win_org"] = np.array([r0, c0], np.int32)
 
+    def _covers(outer_org, outer_ext, note):
+        """Producer-side check of the containment the chain ops rely on
+        (ops/window.py window_chain_extend{,_up2} dynamic slices/updates
+        would silently clamp and misalign, not error): the in-image part
+        of this gather's extraction window must sit inside the carried
+        window ``(outer_org, outer_ext)``. Validated HERE, where the
+        guarantee is produced — the ops' trace-time asserts vanish under
+        ``python -O``."""
+        lo = tuple(max(v_org[a], 0) for a in (0, 1))
+        hi = tuple(min(v_org[a] + ext[a], in_res[a]) for a in (0, 1))
+        ok = all(outer_org[a] <= lo[a] and hi[a] <= outer_org[a] + outer_ext[a]
+                 for a in (0, 1))
+        if not ok:
+            raise ValueError(
+                f"window nesting violated at {note}: extraction window "
+                f"org={v_org} ext={ext} (in-image [{lo},{hi})) not covered "
+                f"by carried window org={outer_org} ext={outer_ext} — "
+                f"planner canonical-window growth did not converge")
+
     # chain-across-upsample marker: the nesting constraint above makes
     # the DOUBLED carried window at in_res//2 cover this extraction
     # window, so the chain step is a pure slice (window_chain_extend_up2).
@@ -426,6 +473,8 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
     if (_memo.get("chain_nesting", True)
             and (sh, sw) == (1, 1) and half in _memo["windows"]
             and in_res[0] % 2 == 0 and in_res[1] % 2 == 0):
+        hr0, hc0, HWH, HWW = _memo["windows"][half]
+        _covers((2 * hr0, 2 * hc0), (2 * HWH, 2 * HWW), "wup_ok (up2 chain)")
         entry["wup_ok"] = np.int32(1)
 
     # chain-across-downsample marker: for a stride-2 consumer the
@@ -438,6 +487,16 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
     if (_memo.get("chain_nesting", True) and (sh, sw) == (2, 2)
             and in_res == (2 * ores[0], 2 * ores[1])
             and in_res in _memo["windows"]):
+        # opposite containment: the carried FINE window must sit inside
+        # this extraction window (window_chain_extend overlays it with a
+        # dynamic_update_slice, which would silently clamp)
+        fr0, fc0, FWH, FWW = _memo["windows"][in_res]
+        if not all(v_org[a] <= o and o + e <= v_org[a] + ext[a]
+                   for a, (o, e) in enumerate(((fr0, FWH), (fc0, FWW)))):
+            raise ValueError(
+                f"window nesting violated at wdn_ok (stride-2 chain): "
+                f"carried window ({fr0},{fc0})+({FWH},{FWW}) at {in_res} "
+                f"not inside extraction window org={v_org} ext={ext}")
         entry["wdn_ok"] = np.int32(1)
 
     # pre-pool chain products (requested via Gather.prepool_chain): the
@@ -450,6 +509,16 @@ def _window_entry(entry, node, geom: BlockGeometry, in_res, masks,
     dblr = (in_res[0] * 2, in_res[1] * 2)
     if (_memo.get("chain_nesting", True) and (sh, sw) == (1, 1)
             and "prepool" in node and dblr in _memo["windows"]):
+        # carried window at the doubled resolution must sit inside the
+        # doubled extraction window (same DUS-overlay contract as wdn_ok)
+        dr0, dc0, DWH, DWW = _memo["windows"][dblr]
+        if not all(2 * v_org[a] <= o and o + e <= 2 * (v_org[a] + ext[a])
+                   for a, (o, e) in enumerate(((dr0, DWH), (dc0, DWW)))):
+            raise ValueError(
+                f"window nesting violated at wdnp (pre-pool chain): "
+                f"carried window ({dr0},{dc0})+({DWH},{DWW}) at {dblr} not "
+                f"inside doubled extraction window org={tuple(2*v for v in v_org)} "
+                f"ext={tuple(2*e for e in ext)}")
         meta2, edge2 = _window_meta((2 * v_org[0], 2 * v_org[1]),
                                     (2 * ext[0], 2 * ext[1]), dblr, fast)
         entry["wdnp_in"] = meta2

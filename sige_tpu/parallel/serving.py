@@ -107,12 +107,21 @@ class PlanStack:
         self.windows = [None] * num_sessions  # {res: (r0,c0,WH,WW)} per session
         self.pins = {}
         self.win_pins = None  # {res: (WH, WW)} once first merged
+        # optimistic fast-form window metas: every session's windows are
+        # interior in the common case, so the stacked plan rides the same
+        # plan-static 2-form fast path the solo engine measures (round-4
+        # serving stacked the legacy 4-form for everyone: 1.91 vs 1.55 ms
+        # per session). The first cross-session form mismatch (a border
+        # edit meets an interior one) flips this off and rebuilds — one
+        # recompile, after which all sessions share the 4-form again.
+        self.meta_fast = True
         self._stacked = None
 
     def _caps(self):
         caps = dict(self.pins)
         if self.win_pins is not None:  # {} is meaningful: tiles everywhere
             caps[("__winext__",)] = dict(self.win_pins)
+        caps[("__metafast__",)] = self.meta_fast
         return caps
 
     def _build(self, masks, i=None):
@@ -126,7 +135,12 @@ class PlanStack:
         return plan
 
     def _repin(self) -> None:
-        """Merge pins across all sessions' built plans and re-enforce."""
+        """Merge pins across all sessions' built plans and re-enforce.
+
+        Only sessions whose plan does NOT already conform to the merged
+        pins are rebuilt — a pin drift from one session's larger edit
+        costs one build for the sessions it actually outgrew, not S full
+        build_plan passes per convergence round."""
         self.pins = merge_pins(*(plan_pins(p) for p in self.plans))
         if self.layout == "window":
             live = [w for w in self.windows if w is not None]
@@ -137,7 +151,23 @@ class PlanStack:
                 res: (max(w[res][2] for w in live),
                       max(w[res][3] for w in live))
                 for res in common}
-        self.plans = [self._build(m, i) for i, m in enumerate(self.masks)]
+        for i, m in enumerate(self.masks):
+            if not self._conforms(i):
+                self.plans[i] = self._build(m, i)
+
+    def _conforms(self, i: int) -> bool:
+        """True when session ``i``'s built plan already has exactly the
+        merged pins' leaf shapes (and the pinned windowed-resolution
+        set), so rebuilding it could not change any shape."""
+        if plan_pins(self.plans[i]) != self.pins:
+            return False
+        if self.layout == "window" and self.win_pins is not None:
+            w = self.windows[i]
+            if set(w) != set(self.win_pins):
+                return False
+            return all((w[r][2], w[r][3]) == tuple(self.win_pins[r])
+                       for r in w)
+        return True
 
     def set(self, i: int, masks) -> None:
         self.masks[i] = masks
@@ -172,9 +202,36 @@ class PlanStack:
                                              *self.plans)
                 return self._stacked
             except ValueError:
-                self._repin()
+                if self.meta_fast and self._meta_form_mismatch():
+                    # a border edit met interior ones: fall back to the
+                    # uniform legacy 4-form for every session (one
+                    # recompile; re-pinning cannot fix a form mismatch)
+                    self.meta_fast = False
+                    self.plans = [self._build(m, i)
+                                  for i, m in enumerate(self.masks)]
+                else:
+                    self._repin()
         raise RuntimeError("plan stacking failed to converge on shared "
                            "shape pins (window nesting did not settle)")
+
+    def _meta_form_mismatch(self) -> bool:
+        """True when any window-meta leaf ships in the fast 2-form in one
+        session and the 4-form in another (ops/window.py _fast) — the one
+        leaf-shape drift a capacity/extent re-pin cannot reconcile."""
+        forms = {}
+
+        def walk(node, path):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v, path + (k,))
+                elif (k in ("win_in", "wdnp_in")
+                      or k.startswith("wsg_in_")):
+                    forms.setdefault(path + (k,), set()).add(
+                        np.asarray(v).shape)
+
+        for p in self.plans:
+            walk(p, ())
+        return any(len(s) > 1 for s in forms.values())
 
 
 def upload_reuse(shard, prev_host, prev_dev, host):
