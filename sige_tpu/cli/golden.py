@@ -60,6 +60,30 @@ FAMILIES = {
         "cli_args": ["--netG", "sige_fused_spade"],
         "metrics": ("miou", "fid"),
     },
+    # the reference's SD protocol: its three published examples
+    # (reference: stable-diffusion/README.md:40-54 inpainting,
+    # 121-151 img2img) run verbatim; each example's prompt embedding may
+    # be precomputed at <data_root>/embeddings/<name>.npz (uc/c) for
+    # environments without a local CLIP snapshot.
+    "sd": {
+        "checkpoint": "sd-v1-4.ckpt",
+        "metrics": ("psnr", "lpips"),
+        "examples": [
+            {"name": "inpainting_0", "task": "inpainting",
+             "prompt": "a photograph of a horse on a grassland",
+             "init": "inpainting/original/0.png",
+             "mask": "inpainting/masks/0.npy",
+             "seed": "36", "W": "1024"},
+            {"name": "img2img_0", "task": "sdedit",
+             "prompt": "A fantasy landscape, trending on artstation",
+             "init": "img2img/original/0.png",
+             "edited": "img2img/edited/0.png", "seed": "11"},
+            {"name": "img2img_1", "task": "sdedit",
+             "prompt": "A fantasy beach landscape, trending on artstation",
+             "init": "img2img/original/1.png",
+             "edited": "img2img/edited/1.png", "seed": "95"},
+        ],
+    },
 }
 
 
@@ -119,6 +143,31 @@ def _run_cli(main_fn, argv) -> None:
 def _generate(args, passthrough, ckpt) -> str:
     fam = FAMILIES[args.family]
     os.makedirs(args.save_dir, exist_ok=True)
+    if args.family == "sd":
+        from .sd import main as fam_main
+
+        for ex in fam["examples"]:
+            argv = ["--task", ex["task"], "--restore_from", ckpt,
+                    "--save_dir", args.save_dir,
+                    "--output_name", ex["name"] + ".png",
+                    "--seed", ex["seed"],
+                    "--init_img", os.path.join(args.data_root, ex["init"])]
+            if "W" in ex:
+                argv += ["--W", ex["W"]]
+            if "mask" in ex:
+                argv += ["--mask_path",
+                         os.path.join(args.data_root, ex["mask"])]
+            if "edited" in ex:
+                argv += ["--edited_img",
+                         os.path.join(args.data_root, ex["edited"])]
+            emb = os.path.join(args.data_root, "embeddings",
+                               ex["name"] + ".npz")
+            if os.path.exists(emb):
+                argv += ["--embeddings", emb]
+            else:  # needs a local CLIP snapshot (models/sd/clip.py)
+                argv += ["--prompt", ex["prompt"]]
+            _run_cli(fam_main, argv + list(passthrough))
+        return args.save_dir
     if args.family == "gaugan":
         from .gaugan import main as fam_main
 

@@ -43,7 +43,37 @@ def get_args():
     p.add_argument("--no_watermark", action="store_true",
                    help="skip the invisible watermark (reference stamps "
                         "'StableDiffusionV1'; base_runner.py:63-65,93)")
+    p.add_argument("--output_name", type=str, default=None,
+                   help="output file name (default <task>.png) — the "
+                        "golden pipeline runs several named examples")
+    p.add_argument("--hparams", type=str, default="",
+                   help="dot-path config overrides prefixed unet./vae./"
+                        "run. (e.g. 'unet.model_channels=8 vae.ch=8') — "
+                        "the dry-run tests shrink the models this way")
     return p.parse_args()
+
+
+def _apply_hparams(hparams: str, unet_cfg, vae_cfg, run_cfg):
+    """``unet.x=v vae.y=v run.z=v`` overrides on the frozen dataclasses."""
+    import dataclasses
+
+    from ..utils.config import parse_value
+
+    cfgs = {"unet": unet_cfg, "vae": vae_cfg, "run": run_cfg}
+    for item in hparams.strip().split():
+        if "=" not in item:
+            continue
+        key, value = item.split("=", 1)
+        prefix, _, field = key.partition(".")
+        if prefix not in cfgs or not field:
+            raise SystemExit(f"--hparams key {key!r}: expected "
+                             f"unet./vae./run. prefix")
+        cur = getattr(cfgs[prefix], field)  # raises on unknown field
+        val = parse_value(value, cur)
+        if isinstance(cur, tuple) and isinstance(val, list):
+            val = tuple(val)
+        cfgs[prefix] = dataclasses.replace(cfgs[prefix], **{field: val})
+    return cfgs["unet"], cfgs["vae"], cfgs["run"]
 
 
 def main():
@@ -61,6 +91,9 @@ def main():
     unet_cfg = SDUNetConfig()
     run_cfg = SDRunConfig(ddim_steps=args.ddim_steps,
                           guidance_scale=args.scale, strength=args.strength)
+    if args.hparams:
+        unet_cfg, vae_cfg, run_cfg = _apply_hparams(
+            args.hparams, unet_cfg, vae_cfg, run_cfg)
     params = None
     if args.restore_from:
         from ..utils.checkpoint import maybe_load_native
@@ -81,7 +114,7 @@ def main():
             vae_attn_resolutions=vae_cfg.attn_resolutions,
             resolution=vae_cfg.resolution)
     runner = SDRunner(unet_cfg, vae_cfg, run_cfg, params=params,
-                      seed=args.seed)
+                      seed=args.seed, width=args.W)
     if args.save_converted:
         from ..utils.checkpoint import save_params
 
@@ -145,7 +178,8 @@ def main():
         img8 = np.clip(np.round(sample * 255.0), 0, 255).astype(np.uint8)
         img8 = put_watermark(img8, WatermarkEncoder(b"StableDiffusionV1"))
         sample = img8.astype(np.float32) / 255.0
-    path = os.path.join(args.save_dir, f"{args.task}.png")
+    path = os.path.join(args.save_dir,
+                        args.output_name or f"{args.task}.png")
     save_image(path, sample)
     print(f"saved {path}")
 

@@ -45,13 +45,18 @@ class SDRunConfig:
     mask_eps: float = 2e-2
     mask_dilate_radius: int = 5
     decoder_dilate_radius: int = 40  # reference: sdedit_runner.py:100
+    #: deepest UNet mask-pyramid resolution (min dim). 8 == the real SD
+    #: UNet's deepest latent level at 512 (64/2^3); dry-run tiny configs
+    #: override it to match their shallower pyramids.
+    mask_min_res: int = 8
 
 
 class SDRunner:
     def __init__(self, unet_cfg: SDUNetConfig = SDUNetConfig(),
                  vae_cfg: SDVAEConfig = SDVAEConfig(),
                  run_cfg: SDRunConfig = SDRunConfig(),
-                 params: Optional[Dict] = None, seed: int = 0):
+                 params: Optional[Dict] = None, seed: int = 0,
+                 width: Optional[int] = None):
         self.unet_cfg, self.vae_cfg, self.run_cfg = unet_cfg, vae_cfg, run_cfg
         # hybrid window layout everywhere: window-resident chains at the
         # fine levels (incl. masked stale-K/V transformers), tile
@@ -64,9 +69,13 @@ class SDRunner:
         self.sampler = SDDDIMSampler(
             num_steps=run_cfg.ddim_steps, eta=run_cfg.eta,
             guidance_scale=run_cfg.guidance_scale)
+        # rectangular canvases supported (the reference inpainting example
+        # runs 512x1024 — stable-diffusion/README.md:40-44): ``width``
+        # defaults to the square vae resolution
         R = vae_cfg.resolution
+        self.width = width or R
         f = 2 ** (len(vae_cfg.ch_mult) - 1)
-        self.latent_res = R // f
+        self.latent_hw = (R // f, self.width // f)
         #: optional AutoencoderKL post_quant_conv as a pointwise latent map
         #: (weight [z, z], bias [z]); the matching quant_conv is folded into
         #: encoder.conv_out at conversion time (see utils/convert_sd.py)
@@ -77,9 +86,10 @@ class SDRunner:
             self.decoder.params = params.get("decoder")
             self.post_quant = params.get("post_quant")
         else:
-            img = jnp.zeros((1, R, R, vae_cfg.in_channels), jnp.float32)
-            z = jnp.zeros((1, self.latent_res, self.latent_res,
-                           unet_cfg.in_channels), jnp.float32)
+            img = jnp.zeros((1, R, self.width, vae_cfg.in_channels),
+                            jnp.float32)
+            z = jnp.zeros((1, *self.latent_hw, unet_cfg.in_channels),
+                          jnp.float32)
             t = jnp.zeros((1,), jnp.float32)
             c = jnp.zeros((1, 77, unet_cfg.context_dim), jnp.float32)
             self.unet.init(jax.random.key(seed), z, t, c)
@@ -88,7 +98,7 @@ class SDRunner:
 
     # ------------------------------------------------------------------
     def encode(self, img: jnp.ndarray, mode: str = "full") -> jnp.ndarray:
-        """Image [1, R, R, 3] in [-1, 1] -> scaled latent mode
+        """Image [1, R, W, 3] in [-1, 1] -> scaled latent mode
         (deterministic: uses the posterior mean)."""
         if mode == "full":
             moments = self.encoder.full(img)
@@ -120,14 +130,14 @@ class SDRunner:
         region at image resolution; returns the image in [-1, 1]."""
         rc = self.run_cfg
         img = jnp.asarray(init_img, jnp.float32).reshape(
-            1, self.vae_cfg.resolution, self.vae_cfg.resolution, -1)
+            1, self.vae_cfg.resolution, self.width, -1)
         init_latent = self.encode(img)
         uc, c = self._default_contexts(uc, c)
 
-        masks = downsample_mask(np.asarray(mask, bool), min_res=8, dilation=1)
-        lres = self.latent_res
+        masks = downsample_mask(np.asarray(mask, bool),
+                                min_res=rc.mask_min_res, dilation=1)
         blend = 1.0 - jnp.asarray(
-            masks[(lres, lres)], jnp.float32)[None, :, :, None]
+            masks[self.latent_hw], jnp.float32)[None, :, :, None]
 
         # prime UNet caches/meta + plan
         key = jax.random.key(seed)
@@ -158,14 +168,14 @@ class SDRunner:
         """Reference: sdedit_runner.py + ddim.py:345-393."""
         rc = self.run_cfg
         R = self.vae_cfg.resolution
-        x0 = jnp.asarray(init_img, jnp.float32).reshape(1, R, R, -1)
-        x1 = jnp.asarray(edited_img, jnp.float32).reshape(1, R, R, -1)
+        x0 = jnp.asarray(init_img, jnp.float32).reshape(1, R, self.width, -1)
+        x1 = jnp.asarray(edited_img, jnp.float32).reshape(1, R, self.width, -1)
         uc, c = self._default_contexts(uc, c)
 
         diff = compute_difference_mask(np.asarray(x0[0]), np.asarray(x1[0]),
                                        eps=rc.mask_eps)
         diff = dilate_mask(diff, rc.mask_dilate_radius)
-        masks = downsample_mask(diff, min_res=8, dilation=1)
+        masks = downsample_mask(diff, min_res=rc.mask_min_res, dilation=1)
 
         # sparse encode of the edited image over init-image caches
         init_latent = self.encode(x0)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 from .convert import md5_file
 
@@ -19,7 +19,7 @@ from .convert import md5_file
 @dataclasses.dataclass(frozen=True)
 class CheckpointSpec:
     name: str
-    md5: str
+    md5: Optional[str]  # None: upstream publishes no checksum (skip verify)
     url: str
     converter: str  # dotted path of the state-dict -> flax converter
 
@@ -71,6 +71,15 @@ REGISTRY: Dict[str, CheckpointSpec] = {
             "530ff557d614df1378d0613f7a0865dc",
             f"{_BASE_GAUGAN}/fused_sub_mobile_spade-32_32_32_48_32_24_24_32.pth",
             "sige_tpu.utils.convert.convert_gaugan_sub_mobile_spade",
+        ),
+        CheckpointSpec(
+            # the reference points at HuggingFace and publishes no md5
+            # (reference: stable-diffusion/README.md:25-29)
+            "sd-v1-4.ckpt",
+            None,
+            "https://huggingface.co/CompVis/stable-diffusion-v-1-4-original"
+            "/resolve/main/sd-v1-4.ckpt",
+            "sige_tpu.utils.convert_sd.convert_sd",
         ),
     ]
 }
@@ -133,6 +142,12 @@ def download(name: str, root: str = "pretrained", tries: int = 3,
     last = None
     for _ in range(tries):
         _download_url(src, path)
+        if spec.md5 is None:
+            # upstream publishes no checksum (e.g. sd-v1-4.ckpt lives on
+            # HuggingFace, not the SIGE site) — surface the skip loudly
+            print(f"WARNING: no registered md5 for {name}; download from "
+                  f"{src} was NOT integrity-checked")
+            return path
         got = md5_file(path)
         if got == spec.md5:
             return path
@@ -160,7 +175,7 @@ def fetch(name: str, root: str = "pretrained", verify: bool = True,
         raise FileNotFoundError(
             f"checkpoint {name} not found at {path}; download it from "
             f"{spec.url} (no network egress in this environment)")
-    if verify:
+    if verify and spec.md5 is not None:
         got = md5_file(path)
         if got != spec.md5:
             if may_fetch:
