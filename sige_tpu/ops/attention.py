@@ -68,17 +68,31 @@ NEG_INF = jnp.float32(-1e9)
 
 _FLASH_ENABLED = os.environ.get("SIGE_FLASH_ATTN", "0") in ("1", "interpret")
 _INTERPRET = os.environ.get("SIGE_FLASH_ATTN") == "interpret"
+# bespoke unpadded-head-dim kernel (ops/flash.py) — a separate toggle
+# from the stock kernel so each is measured on its own
+_BESPOKE = os.environ.get("SIGE_FLASH_ATTN") == "sige"
 
 
-def enable_flash_attention(on: bool = True, interpret: bool = False) -> None:
-    """Toggle the Pallas flash path globally (also: SIGE_FLASH_ATTN=1).
+def enable_flash_attention(on: bool = True, interpret: bool = False,
+                           bespoke: bool = False) -> None:
+    """Toggle the Pallas flash path globally (also: SIGE_FLASH_ATTN=1,
+    or =sige for the bespoke unpadded-head-dim kernel in ops/flash.py).
     ``interpret=True`` additionally runs the kernel in TPU interpret
     mode so the flash path can be validated off-chip (slow; tests
     only). Takes effect at trace time; jitted programs compiled earlier
     keep the path they were traced with."""
-    global _FLASH_ENABLED, _INTERPRET
-    _FLASH_ENABLED = bool(on)
+    global _FLASH_ENABLED, _INTERPRET, _BESPOKE
+    _FLASH_ENABLED = bool(on) and not bespoke
+    _BESPOKE = bool(on) and bespoke
     _INTERPRET = bool(interpret)
+
+
+def _bespoke_viable(n: int, m: int) -> bool:
+    if not _BESPOKE:
+        return False
+    if not (_INTERPRET or jax.default_backend() == "tpu"):
+        return False
+    return n % 128 == 0 and m % 128 == 0
 
 
 def flash_attention_enabled() -> bool:
@@ -164,6 +178,17 @@ def mha(q, k, v, heads: int, dim_head: int, *,
     vh = v.reshape(B, M, nh, hd)
     scale = hd ** -0.5
     mp = -(-M // 128) * 128  # ragged KV (e.g. 77 text tokens) pads to a
+    if _bespoke_viable(N, mp):  # unpadded-head-dim kernel (ops/flash.py)
+        from .flash import flash_mha
+
+        bias = None
+        if mp != M:
+            pad = ((0, 0), (0, mp - M), (0, 0), (0, 0))
+            kh = jnp.pad(kh, pad)
+            vh = jnp.pad(vh, pad)
+            bias = jnp.where(jnp.arange(mp) >= M, NEG_INF, 0.0)
+        out = flash_mha(qh, kh, vh, scale, bias=bias, interpret=_INTERPRET)
+        return out.reshape(B, N, nh * hd)
     if _flash_viable(N, mp, _interpret):  # lane multiple, dead-segmented
         kv_seg = None
         if mp != M:
@@ -195,6 +220,19 @@ def masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, heads: int,
     nh, hd = heads, dim_head
     qh = q.reshape(B, N, nh, hd)
     scale = hd ** -0.5
+    if _bespoke_viable(N, Ms + Mf):
+        from .flash import flash_mha
+
+        kh = jnp.concatenate(
+            [ks.reshape(B, Ms, nh, hd).astype(qh.dtype),
+             kf.reshape(B, Mf, nh, hd).astype(qh.dtype)], axis=1)
+        vh = jnp.concatenate(
+            [vs.reshape(B, Ms, nh, hd).astype(qh.dtype),
+             vf.reshape(B, Mf, nh, hd).astype(qh.dtype)], axis=1)
+        out = flash_mha(qh, kh, vh, scale,
+                        bias=jnp.concatenate([bias_s, bias_f]),
+                        interpret=_INTERPRET)
+        return out.reshape(B, N, nh * hd)
     if _flash_viable(N, Ms + Mf, _interpret):
         kh = jnp.concatenate(
             [ks.reshape(B, Ms, nh, hd).astype(qh.dtype),

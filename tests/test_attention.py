@@ -137,3 +137,71 @@ def test_masked_mha_ignores_dead_tokens_entirely():
     b = masked_mha(q, ks, vs2, kf, vf, bias_s, bias_f, nh, hd,
                    _interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bespoke unpadded-head-dim kernel (ops/flash.py)
+
+
+def _with_bespoke(fn):
+    from sige_tpu.ops.attention import enable_flash_attention
+
+    enable_flash_attention(True, interpret=True, bespoke=True)
+    try:
+        return fn()
+    finally:
+        enable_flash_attention(False)
+
+
+@pytest.mark.parametrize("nh,hd", [(2, 64), (2, 40), (1, 80)])
+def test_bespoke_flash_mha_matches_naive(nh, hd):
+    B, N, M = 2, 128, 256
+    q = _rand(30, B, N, nh * hd)
+    k = _rand(31, B, M, nh * hd)
+    v = _rand(32, B, M, nh * hd)
+    want = mha(q, k, v, nh, hd)
+    got = _with_bespoke(lambda: mha(q, k, v, nh, hd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bespoke_flash_ragged_kv():
+    """M=77 text KV pads to 128 with -inf bias on the padded tail."""
+    B, N, M, nh, hd = 2, 128, 77, 2, 40
+    q = _rand(33, B, N, nh * hd)
+    k = _rand(34, B, M, nh * hd)
+    v = _rand(35, B, M, nh * hd)
+    want = mha(q, k, v, nh, hd)
+    got = _with_bespoke(lambda: mha(q, k, v, nh, hd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("nh,hd", [(1, 64), (2, 40)])
+def test_bespoke_flash_masked_mha_matches_naive(nh, hd):
+    B, N, Ms, Mf = 1, 128, 256, 128
+    rng = np.random.default_rng(1)
+    q = _rand(36, B, N, nh * hd)
+    ks = _rand(37, B, Ms, nh * hd)
+    vs = _rand(38, B, Ms, nh * hd)
+    kf = _rand(39, B, Mf, nh * hd)
+    vf = _rand(40, B, Mf, nh * hd)
+    dead_s = np.zeros(Ms, bool)
+    dead_s[rng.choice(Ms, Mf, replace=False)] = True
+    bias_s = jnp.where(jnp.asarray(dead_s), NEG_INF, 0.0)
+    bias_f = jnp.zeros(Mf)
+    want = masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, nh, hd)
+    got = _with_bespoke(
+        lambda: masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, nh, hd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bespoke_flash_falls_back_on_odd_lengths():
+    B, nh, hd = 1, 1, 32
+    q = _rand(41, B, 100, nh * hd)
+    k = _rand(42, B, 100, nh * hd)
+    v = _rand(43, B, 100, nh * hd)
+    np.testing.assert_array_equal(
+        np.asarray(_with_bespoke(lambda: mha(q, k, v, nh, hd))),
+        np.asarray(mha(q, k, v, nh, hd)))
