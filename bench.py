@@ -82,10 +82,7 @@ def bench_sd_unet(iters, dtype="bfloat16"):
     # peak HBM of the compiled single-step programs (XLA buffer
     # assignment: args + outputs + temps at high-water; the counter that
     # works through the remote tunnel — memory_stats() is None there)
-    from sige_tpu.utils import compiled_hbm_mb
-
-    hbm_dense = compiled_hbm_mb(fd, cast(model.params), xb)
-    hbm_sparse = compiled_hbm_mb(fs, v, xb)
+    hbm = _hbm_pair(fd, fs, cast(model.params), v, xb)
 
     def macs(mode):
         from sige_tpu.utils import traced_macs
@@ -102,8 +99,7 @@ def bench_sd_unet(iters, dtype="bfloat16"):
         "sparse_gmacs": round(macs("sparse") / 1e9, 1),
         "edit_ratio_pct": round(100 * float(_edit_mask(512, dilate=0).mean()), 2),
         "dtype": str(dtype),
-        "hbm_dense_mb": hbm_dense,
-        "hbm_sparse_mb": hbm_sparse,
+        **hbm,
     }
 
 
@@ -119,8 +115,7 @@ def bench_vae_decoder(iters, dtype="bfloat16"):
     from sige_tpu.nn.module import SIGECtx
 
     dt = jnp.dtype(dtype)
-    dec = SIGEModel(SIGEDecoder(cfg=SDVAEConfig(resolution=512,
-                                                sige_tail=True)),
+    dec = SIGEModel(SIGEDecoder(cfg=SDVAEConfig(resolution=512)),
                     layout="window")
     rng = np.random.default_rng(0)
     z = jnp.asarray(rng.standard_normal((1, 64, 64, 4)).astype(np.float32))
@@ -137,13 +132,34 @@ def bench_vae_decoder(iters, dtype="bfloat16"):
     fs = lambda v, x: dec.module.apply(v, x, ctx=SIGECtx(mode="sparse"))
     fd = lambda p, x: dec.module.apply({"params": p}, x,
                                        ctx=SIGECtx(mode="dense"))
-    return {
+    out = {
         "dense_ms": round(_timeit(fd, cast(dec.params), zb, iters=iters), 2),
         "sparse_ms": round(_timeit(fs, v, zb, iters=iters), 2),
         "dense_gmacs": round(_model_macs(dec, z, "dense") / 1e9, 1),
         "sparse_gmacs": round(_model_macs(dec, z, "sparse") / 1e9, 1),
         "dtype": str(dtype),
     }
+    out.update(_hbm_pair(fd, fs, cast(dec.params), v, zb))
+    return out
+
+
+def _hbm_pair(fd, fs, dense_args, sparse_vars, x):
+    """hbm_{dense,sparse}_mb + the resident-arg split for a bench entry."""
+    from sige_tpu.utils import compiled_hbm_breakdown, tree_mb
+
+    hd = compiled_hbm_breakdown(fd, dense_args, x)
+    hs = compiled_hbm_breakdown(fs, sparse_vars, x)
+    out = {}
+    if hd:
+        out["hbm_dense_mb"] = hd["peak_mb"]
+        out["hbm_dense"] = hd
+    if hs:
+        out["hbm_sparse_mb"] = hs["peak_mb"]
+        hs["params_mb"] = tree_mb(sparse_vars["params"])
+        hs["cache_mb"] = tree_mb(sparse_vars.get("cache", ()))
+        hs["plan_mb"] = tree_mb(sparse_vars.get("sige", ()))
+        out["hbm_sparse"] = hs
+    return out
 
 
 def _model_macs(model, x, mode):
@@ -168,8 +184,7 @@ def bench_vae_encoder(iters, dtype="bfloat16"):
     from sige_tpu.nn.module import SIGECtx
 
     dt = jnp.dtype(dtype)
-    enc = SIGEModel(SIGEEncoder(cfg=SDVAEConfig(resolution=512,
-                                                sige_tail=True)),
+    enc = SIGEModel(SIGEEncoder(cfg=SDVAEConfig(resolution=512)),
                     layout="window")
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((1, 512, 512, 3)).astype(np.float32))
@@ -184,13 +199,15 @@ def bench_vae_encoder(iters, dtype="bfloat16"):
     fs = lambda v, x: enc.module.apply(v, x, ctx=SIGECtx(mode="sparse"))
     fd = lambda p, x: enc.module.apply({"params": p}, x,
                                        ctx=SIGECtx(mode="dense"))
-    return {
+    out = {
         "dense_ms": round(_timeit(fd, cast(enc.params), xb, iters=iters), 2),
         "sparse_ms": round(_timeit(fs, v, xb, iters=iters), 2),
         "dense_gmacs": round(_model_macs(enc, img, "dense") / 1e9, 1),
         "sparse_gmacs": round(_model_macs(enc, img, "sparse") / 1e9, 1),
         "dtype": str(dtype),
     }
+    out.update(_hbm_pair(fd, fs, cast(enc.params), v, xb))
+    return out
 
 
 def bench_gaugan(iters):
@@ -199,9 +216,38 @@ def bench_gaugan(iters):
     from sige_tpu.models.gaugan import SPADEGenConfig
     from sige_tpu.runners import GauGANRunConfig, GauGANRunner
 
-    # sige_tail=True: sparse conv_img tail (library default keeps the
-    # reference's dense tail; see SPADEGenConfig.sige_tail)
-    runner = GauGANRunner(SPADEGenConfig(sige_tail=True))
+    runner = GauGANRunner(SPADEGenConfig())  # library defaults
+    rng = np.random.default_rng(0)
+    H, W = 256, 512
+    l0 = rng.integers(0, 34, (H, W))
+    l1 = l0.copy()
+    side = int(round((0.012 * H * W) ** 0.5))
+    l1[H // 3: H // 3 + side, W // 3: W // 3 + side] = 34
+    s0 = runner.preprocess_input(l0, l0)
+    s1 = runner.preprocess_input(l1, l1)
+    sparse = runner.profile(s0, s1, warmup=5, iters=iters)
+    dense = runner.profile(s0, s1, warmup=5, iters=iters, mode="dense")
+    return {
+        "dense_ms": round(dense["latency_ms"], 2),
+        "sparse_ms": round(sparse["latency_ms"], 2),
+        "dense_gmacs": round(dense["macs_g"], 1),
+        "sparse_gmacs": round(sparse["macs_g"], 1),
+    }
+
+
+def bench_gaugan_gc(iters):
+    """GauGAN + GAN Compression (sub-mobile SPADE, the reference's shipped
+    ``--config_str 32_32_32_48_32_24_24_32 --num_sparse_layers 4``) at the
+    same ~1.2% semantic edit — the reference's biggest headline multiplier
+    (47x MACs reduction; reference: README.md:12,37, gaugan/README.md:139-143)."""
+    from sige_tpu.models.gaugan import (SIGESubMobileSPADEGenerator,
+                                        SPADEGenConfig, decode_config)
+    from sige_tpu.runners import GauGANRunner
+
+    cfg = SPADEGenConfig(num_sparse_layers=4)
+    channels = tuple(decode_config("32_32_32_48_32_24_24_32"))
+    module = SIGESubMobileSPADEGenerator(cfg=cfg, channels=channels)
+    runner = GauGANRunner(cfg, module=module)
     rng = np.random.default_rng(0)
     H, W = 256, 512
     l0 = rng.integers(0, 34, (H, W))
@@ -225,7 +271,7 @@ def bench_pd(iters):
     from sige_tpu.models.pd import PDUNetConfig
     from sige_tpu.runners import PDRunner
 
-    runner = PDRunner(PDUNetConfig(sige_tail=True))
+    runner = PDRunner(PDUNetConfig())  # library defaults
     rng = np.random.default_rng(0)
     original = rng.random((256, 256, 3)).astype(np.float32)
     edited = original.copy()
@@ -248,9 +294,7 @@ def bench_ddpm(iters):
     from sige_tpu.nn.module import SIGECtx
     from sige_tpu.runners import DiffusionRunConfig, DiffusionRunner
 
-    # sige_tail=True: the TPU-speed tail fold (library default is the
-    # reference-parity live tail; the bench measures the optimized config)
-    runner = DiffusionRunner(DDPMUNetConfig(sige_tail=True),
+    runner = DiffusionRunner(DDPMUNetConfig(),  # library defaults
                              DiffusionRunConfig(), seed=0)
     rng = np.random.default_rng(0)
     original = rng.random((256, 256, 3)).astype(np.float32)
@@ -285,7 +329,7 @@ def bench_serving(iters, cfg=None, resolution=256, sessions=4):
 
     R = resolution
     if cfg is None:
-        cfg = DDPMUNetConfig(sige_tail=True)
+        cfg = DDPMUNetConfig()
     module = SIGEFusedUNet(cfg=cfg)
     model = SIGEModel(module)
     rng = np.random.default_rng(0)
@@ -330,9 +374,9 @@ def main():
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         help="bench dtype for BOTH modes (fair comparison)")
     parser.add_argument("--families", type=str,
-                        default="ddpm,decoder,encoder,gaugan,pd,serving",
+                        default="ddpm,decoder,encoder,gaugan,gc,pd,serving",
                         help="extra per-family details (comma list of "
-                             "ddpm,decoder,encoder,gaugan,pd,serving; "
+                             "ddpm,decoder,encoder,gaugan,gc,pd,serving; "
                              "empty = SD UNet only)")
     args = parser.parse_args()
 
@@ -362,6 +406,7 @@ def main():
         ("encoder", "sd_vae_encoder_512",
          lambda: bench_vae_encoder(args.iters, args.dtype)),
         ("gaugan", "gaugan_512x256", lambda: bench_gaugan(args.iters)),
+        ("gc", "gaugan_gc_512x256", lambda: bench_gaugan_gc(args.iters)),
         ("pd", "pd_church256", lambda: bench_pd(args.iters)),
         ("serving", "serving_4_sessions",
          lambda: bench_serving(args.iters)),

@@ -184,26 +184,40 @@ def profile(step, v, x, iters, outdir, top):
     from jax.profiler import ProfileData
 
     data = ProfileData.from_file(max(files, key=os.path.getmtime))
-    rows = []  # (plane, name, total_ns, count)
+    # A device plane carries several LINES: "XLA Modules" (one event per
+    # program execution), "XLA Ops" (the sync per-op busy line — THE line
+    # to attribute against), plus async activity lines (DMA/copy-start
+    # offload queues) that overlap compute. Summing across lines double
+    # counts; aggregate the "XLA Ops" line only and report the module
+    # line as program wall (round-4 lesson: async prefetches look huge
+    # but overlap — see STATUS perf notes).
+    rows = []  # (plane, line_name, agg, cnt)
     for plane in data.planes:
         is_dev = ("TPU" in plane.name or "/device" in plane.name.lower()
                   or "xla" in plane.name.lower())
         if not is_dev:
             continue
-        agg = collections.Counter()
-        cnt = collections.Counter()
         for line in plane.lines:
+            agg = collections.Counter()
+            cnt = collections.Counter()
             for ev in line.events:
                 agg[ev.name] += ev.duration_ns
                 cnt[ev.name] += 1
-        if agg:
-            rows.append((plane.name, agg, cnt))
+            if agg:
+                rows.append((plane.name, line.name, agg, cnt))
     if not rows:
         names = [p.name for p in data.planes]
         raise SystemExit(f"no device plane with events; planes = {names}")
-    for plane_name, agg, cnt in rows:
+    for plane_name, line_name, agg, cnt in rows:
         total = sum(agg.values())
-        print(f"\n== plane: {plane_name}  total {total/1e6:.2f} ms over "
+        if "ops" not in line_name.lower():
+            print(f"\n== plane {plane_name} line '{line_name}': "
+                  f"{total/1e6/iters:.3f} ms/step over {iters} steps "
+                  f"({sum(cnt.values())//iters} events/step) — not "
+                  f"attributed (module/async line) ==")
+            continue
+        print(f"\n== plane: {plane_name} line '{line_name}'  total "
+              f"{total/1e6:.2f} ms over "
               f"{iters} steps ({total/1e6/iters:.3f} ms/step) ==")
         bycat = collections.Counter()
         for name, ns in agg.items():

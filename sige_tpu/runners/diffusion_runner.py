@@ -31,6 +31,7 @@ from ..samplers import (
     DiffusionSchedule,
     get_sampling_sequence,
 )
+from .common import _hbm_entry
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,8 +200,10 @@ class DiffusionRunner:
 
         from ..utils import traced_macs
         macs = traced_macs(self.module, variables, x1, t0, ctx=ctx)
-        return {
+        out = {
             "latency_ms": latency_ms,
             "macs_g": macs / 1e9,
             "edit_ratio": float(np.mean(mask)),
         }
+        out.update(_hbm_entry(fwd, variables, x1, mode=mode))
+        return out

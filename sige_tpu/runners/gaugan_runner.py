@@ -21,6 +21,7 @@ from ..models.gaugan import SIGEFusedSPADEGenerator, SPADEGenConfig
 from ..nn import SIGEModel
 from ..nn.module import SIGECtx
 from .diffusion_runner import _maybe_bf16_kernels
+from .common import _hbm_entry
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,5 +130,7 @@ class GauGANRunner:
 
         from ..utils import traced_macs
         macs = traced_macs(self.module, variables, x1, ctx=ctx)
-        return {"latency_ms": latency_ms, "macs_g": macs / 1e9,
-                "edit_ratio": float(np.mean(mask))}
+        out = {"latency_ms": latency_ms, "macs_g": macs / 1e9,
+               "edit_ratio": float(np.mean(mask))}
+        out.update(_hbm_entry(fwd, variables, x1, mode=mode))
+        return out

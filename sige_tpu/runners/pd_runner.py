@@ -20,6 +20,7 @@ from ..models.pd import PDUNetConfig, SIGEPDUNet
 from ..nn import SIGEModel
 from ..nn.module import SIGECtx
 from ..samplers import PDSampler, get_sampling_sequence, logsnr_schedule
+from .common import _hbm_entry
 from .diffusion_runner import (_maybe_bf16_kernels, data_transform,
                                inverse_data_transform)
 
@@ -123,5 +124,7 @@ class PDRunner:
 
         from ..utils import traced_macs
         macs = traced_macs(self.module, variables, x1, ls, ctx=ctx)
-        return {"latency_ms": latency_ms, "macs_g": macs / 1e9,
-                "edit_ratio": float(np.mean(mask))}
+        out = {"latency_ms": latency_ms, "macs_g": macs / 1e9,
+               "edit_ratio": float(np.mean(mask))}
+        out.update(_hbm_entry(fwd, variables, x1, mode=mode))
+        return out

@@ -175,6 +175,35 @@ def compiled_hbm_mb(fn, *args) -> float | None:
         return None
 
 
+def compiled_hbm_breakdown(fn, *args) -> dict | None:
+    """Peak-HBM breakdown (MB) of the compiled program for ``fn(*args)``
+    from XLA's buffer assignment: ``args`` (inputs resident for the whole
+    program — weights, caches, plan, activations in), ``out``, and
+    ``temp`` (intermediates at the high-water mark). ``peak`` is the
+    assignment's own high-water figure (aliased buffers counted once, so
+    it can be below args+out+temp). Same counter as compiled_hbm_mb."""
+    try:
+        ma = jax.jit(fn).lower(*args).compile().memory_analysis()
+        if ma is None:
+            return None
+        mb = lambda b: round(b / 1e6, 1)  # noqa: E731
+        return {
+            "peak_mb": mb(ma.peak_memory_in_bytes),
+            "args_mb": mb(ma.argument_size_in_bytes),
+            "out_mb": mb(ma.output_size_in_bytes),
+            "temp_mb": mb(ma.temp_size_in_bytes),
+        }
+    except Exception:
+        return None
+
+
+def tree_mb(tree) -> float:
+    """Total bytes (MB) of a pytree of arrays — the host-side split of
+    compiled_hbm_breakdown's ``args`` term into weights/caches/plan."""
+    return round(sum(a.size * a.dtype.itemsize
+                     for a in jax.tree.leaves(tree)) / 1e6, 1)
+
+
 def traced_macs(module, variables, *args, ctx, **kwargs) -> float:
     """Traced-MACs collection (the torchprofile-equivalent count): one
     jitted apply with the "profile" collection mutable, summed over its
