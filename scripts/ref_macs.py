@@ -118,7 +118,13 @@ def main():
     ap.add_argument("--top", type=int, default=20)
     args = ap.parse_args()
 
+    import time
+    t0 = time.time()
+    def _p(msg):
+        print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
+    _p("installing reference (builds the CPU extension on first use)")
     sige = install_reference("diffusion")
+    _p("reference installed")
     if args.family == "pd":
         RefUNet = import_suite_module(
             "diffusion", "models.pd_arch.sige_unet").SIGEUNet
@@ -140,25 +146,32 @@ def main():
     tmask = sige.utils.downsample_mask(
         torch.from_numpy(np.asarray(mask)), min_res=R // 32, dilation=1)
 
+    torch.set_num_threads(max(os.cpu_count() or 1, 1))
     with torch.no_grad():
         model.set_mode("full")
+        _p("full pass (fills caches)")
         model(x, t)
+        _p("full pass done")
         if args.family == "ddpm":
             for m in model.modules():
                 if type(m).__name__ == "SIGEFusedAttnBlock" and isinstance(
                         getattr(m, "scales", None), torch.Tensor):
                     m.scales = {m.cache_id: m.scales}
                     m.shifts = {m.cache_id: m.shifts}
+        _p("set_masks")
         model.set_masks(tmask)
+        _p("profile pass")
 
         model.set_mode("profile")
         with MacCounter(model) as sparse_c:
             model(x, t)
 
         # dense MACs: the plain full forward counts every op at full res
+        _p("dense count pass")
         model.set_mode("full")
         with MacCounter(model) as dense_c:
             model(x, t)
+        _p("done")
 
     print(f"reference {args.family}{R}: dense {dense_c.total/1e9:.1f} G, "
           f"sparse(profile) {sparse_c.total/1e9:.1f} G, "

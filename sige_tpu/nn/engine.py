@@ -32,7 +32,7 @@ class SIGEModel:
 
     def __init__(self, module, params: Optional[Mapping] = None,
                  bucket_min: int = 2, layout: str = "tiles",
-                 chain_nesting: bool = True):
+                 chain_nesting: bool = True, cache_dtype=None):
         # bucket_min=2: tight capacity buckets. Coarse pyramid levels have
         # single-digit tile counts, where a min-8 floor made "sparse"
         # compute exceed dense (SD UNet sparse: 228.9 -> 140.3 GMACs from
@@ -57,23 +57,32 @@ class SIGEModel:
         #: False when the model runs no window chains (skips the
         #: cross-resolution window containment growth; see planner)
         self.chain_nesting = chain_nesting
+        #: narrow STORAGE dtype for scatter caches (e.g. ``jnp.bfloat16``
+        #: for the fp32 families): halves the sparse-resident cache HBM
+        #: and the cache-slice/update bytes on the hot path; reads cast
+        #: back to the compute dtype (see SIGECtx.cache_dtype). None
+        #: keeps caches at the compute dtype (exact).
+        self.cache_dtype = cache_dtype
         self.capacities: Dict = {}
 
         def full_apply(params, cache, cache_id, args, kwargs):
             variables = {"params": params, "cache": cache}
-            ctx = SIGECtx(mode="full", cache_id=cache_id)
+            ctx = SIGECtx(mode="full", cache_id=cache_id,
+                          cache_dtype=cache_dtype)
             return module.apply(
                 variables, *args, ctx=ctx, mutable=["cache", "meta"], **kwargs
             )
 
         def sparse_apply(params, cache, plan, cache_id, args, kwargs):
             variables = {"params": params, "cache": cache, "sige": plan}
-            ctx = SIGECtx(mode="sparse", cache_id=cache_id)
+            ctx = SIGECtx(mode="sparse", cache_id=cache_id,
+                          cache_dtype=cache_dtype)
             return module.apply(variables, *args, ctx=ctx, **kwargs)
 
         def sparse_update_apply(params, cache, plan, cache_id, args, kwargs):
             variables = {"params": params, "cache": cache, "sige": plan}
-            ctx = SIGECtx(mode="sparse", sparse_update=True, cache_id=cache_id)
+            ctx = SIGECtx(mode="sparse", sparse_update=True,
+                          cache_id=cache_id, cache_dtype=cache_dtype)
             return module.apply(
                 variables, *args, ctx=ctx, mutable=["cache"], **kwargs
             )

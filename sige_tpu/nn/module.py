@@ -72,6 +72,13 @@ class SIGECtx:
     mode: str = flax.struct.field(pytree_node=False, default="full")
     sparse_update: bool = flax.struct.field(pytree_node=False, default=False)
     cache_id: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.int32(0))
+    #: storage dtype for scatter caches (None = the compute dtype).
+    #: ``jnp.bfloat16`` halves the sparse-resident HBM of fp32 families
+    #: AND the cache-slice/update bytes on the sparse hot path; every
+    #: read casts back to the compute dtype, so only cached (unedited)
+    #: content sees the rounding — full/sparse parity degrades from
+    #: ~1e-4 to bf16's ~4e-3 relative (tests/test_cache_dtype.py)
+    cache_dtype: Any = flax.struct.field(pytree_node=False, default=None)
 
 
 DENSE = SIGECtx(mode="dense")
@@ -263,23 +270,26 @@ class Gather(SIGEModule):
 
 
 def _slotted_cache(mod: nn.Module, name: str, value: jnp.ndarray, slots: int,
-                   cache_id) -> jnp.ndarray:
+                   cache_id, dtype=None) -> jnp.ndarray:
     """Write ``value`` into cache slot ``cache_id``; returns the variable's
-    full [slots, ...] array."""
+    full [slots, ...] array. ``dtype`` (``SIGECtx.cache_dtype``) narrows
+    the STORAGE dtype; readers cast back to the compute dtype."""
+    dt = value.dtype if dtype is None else dtype
     v = mod.variable(
         "cache", name,
-        lambda: jnp.zeros((slots, *value.shape), value.dtype),
+        lambda: jnp.zeros((slots, *value.shape), dt),
     )
-    v.value = v.value.at[cache_id].set(value)
+    v.value = v.value.at[cache_id].set(value.astype(dt))
     return v.value
 
 
-def _read_slot(cache: jnp.ndarray, cache_id):
+def _read_slot(cache: jnp.ndarray, cache_id, dtype=None):
     """cache[cache_id] with a static index when there is only one slot —
-    a traced index forces a dynamic-slice copy of the whole map."""
-    if cache.shape[0] == 1:
-        return cache[0]
-    return cache[cache_id]
+    a traced index forces a dynamic-slice copy of the whole map.
+    ``dtype`` casts a narrow-storage cache back to the compute dtype
+    (fused into the slice by XLA)."""
+    out = cache[0] if cache.shape[0] == 1 else cache[cache_id]
+    return out if dtype is None else out.astype(dtype)
 
 
 class Scatter(SIGEModule):
@@ -296,11 +306,12 @@ class Scatter(SIGEModule):
         if ctx.mode == "full":
             out = x if residual is None else x + residual
             self.gather.request_src_map(out.shape[1:3])
-            _slotted_cache(self, "original", out, self.cache_slots, ctx.cache_id)
+            _slotted_cache(self, "original", out, self.cache_slots,
+                           ctx.cache_id, ctx.cache_dtype)
             return out
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
-            y = _read_slot(cache, ctx.cache_id)
+            y = _read_slot(cache, ctx.cache_id, x.dtype)
             if self.gather.planned_window():
                 org, cov = self.gather.read_wsc(y.shape[1:3])
                 out = window_scatter(x, y, org, cov, residual)
@@ -309,7 +320,9 @@ class Scatter(SIGEModule):
                 out = scatter_tiles_box(x, y, box, org, self.gather.geom,
                                         residual)
             if ctx.sparse_update and self.is_mutable_collection("cache"):
-                self.put_variable("cache", "original", cache.at[ctx.cache_id].set(out))
+                self.put_variable("cache", "original",
+                                  cache.at[ctx.cache_id].set(
+                                      out.astype(cache.dtype)))
             return out
         raise ValueError(f"unknown mode {ctx.mode}")
 
@@ -331,7 +344,8 @@ class ScatterGather(SIGEModule):
         if ctx.mode == "full":
             self.gather.request_src_map(x.shape[1:3])
             self.gather.request_sg(x.shape[1:3])
-            _slotted_cache(self, "original", x, self.cache_slots, ctx.cache_id)
+            _slotted_cache(self, "original", x, self.cache_slots,
+                           ctx.cache_id, ctx.cache_dtype)
             return x
         if ctx.mode == "sparse":
             cache = self.get_variable("cache", "original")
@@ -344,13 +358,15 @@ class ScatterGather(SIGEModule):
                     scale, shift, self.activation, self.activation_first,
                 )
                 if ctx.sparse_update and self.is_mutable_collection("cache"):
-                    y = _read_slot(cache, ctx.cache_id)
+                    y = _read_slot(cache, ctx.cache_id, x.dtype)
                     org, wcov = self.gather.read_wsc(res)
                     updated = window_scatter(x, y, org, wcov)
                     self.put_variable(
-                        "cache", "original", cache.at[ctx.cache_id].set(updated))
+                        "cache", "original",
+                        cache.at[ctx.cache_id].set(
+                            updated.astype(cache.dtype)))
                 return out
-            y = _read_slot(cache, ctx.cache_id)
+            y = _read_slot(cache, ctx.cache_id, x.dtype)
             sg_src, sg_flat = self.gather.read_sg(res)
             out = scatter_gather_tiles(
                 x, y, sg_src, sg_flat, geom,
@@ -359,7 +375,9 @@ class ScatterGather(SIGEModule):
             if ctx.sparse_update and self.is_mutable_collection("cache"):
                 box, org = self.gather.read_src_map(res)
                 updated = scatter_tiles_box(x, y, box, org, geom)
-                self.put_variable("cache", "original", cache.at[ctx.cache_id].set(updated))
+                self.put_variable("cache", "original",
+                                  cache.at[ctx.cache_id].set(
+                                      updated.astype(cache.dtype)))
             return out
         raise ValueError(f"unknown mode {ctx.mode}")
 
@@ -380,14 +398,16 @@ class ScatterWithBlockResidual(SIGEModule):
             out = x + residual
             self.main_gather.request_src_map(out.shape[1:3])
             self.shortcut_gather.request_src_map(out.shape[1:3])
-            _slotted_cache(self, "original", out, self.cache_slots, ctx.cache_id)
-            _slotted_cache(self, "residual", residual, self.cache_slots, ctx.cache_id)
+            _slotted_cache(self, "original", out, self.cache_slots,
+                           ctx.cache_id, ctx.cache_dtype)
+            _slotted_cache(self, "residual", residual, self.cache_slots,
+                           ctx.cache_id, ctx.cache_dtype)
             return out
         if ctx.mode == "sparse":
             caches = self.get_variable("cache", "original")
             res_caches = self.get_variable("cache", "residual")
-            y0 = _read_slot(caches, ctx.cache_id)
-            y1 = _read_slot(res_caches, ctx.cache_id)
+            y0 = _read_slot(caches, ctx.cache_id, x.dtype)
+            y1 = _read_slot(res_caches, ctx.cache_id, x.dtype)
             res = y0.shape[1:3]
             if self.main_gather.planned_window():
                 org, cov_m = self.main_gather.read_wsc(res)
@@ -396,11 +416,13 @@ class ScatterWithBlockResidual(SIGEModule):
                     x, y0, residual, y1, org, cov_m, cov_s)
                 if ctx.sparse_update and self.is_mutable_collection("cache"):
                     self.put_variable(
-                        "cache", "original", caches.at[ctx.cache_id].set(out))
+                        "cache", "original",
+                        caches.at[ctx.cache_id].set(out.astype(caches.dtype)))
                     new_res = window_scatter(residual, y1, org, cov_s)
                     self.put_variable(
                         "cache", "residual",
-                        res_caches.at[ctx.cache_id].set(new_res))
+                        res_caches.at[ctx.cache_id].set(
+                            new_res.astype(res_caches.dtype)))
                 return out
             m_box, m_org = self.main_gather.read_src_map(res)
             s_box, s_org = self.shortcut_gather.read_src_map(res)
@@ -410,10 +432,14 @@ class ScatterWithBlockResidual(SIGEModule):
                 s_box, s_org, self.shortcut_gather.geom,
             )
             if ctx.sparse_update and self.is_mutable_collection("cache"):
-                self.put_variable("cache", "original", caches.at[ctx.cache_id].set(out))
+                self.put_variable("cache", "original",
+                                  caches.at[ctx.cache_id].set(
+                                      out.astype(caches.dtype)))
                 new_res = scatter_tiles_box(
                     residual, y1, s_box, s_org, self.shortcut_gather.geom)
-                self.put_variable("cache", "residual", res_caches.at[ctx.cache_id].set(new_res))
+                self.put_variable("cache", "residual",
+                                  res_caches.at[ctx.cache_id].set(
+                                      new_res.astype(res_caches.dtype)))
             return out
         raise ValueError(f"unknown mode {ctx.mode}")
 

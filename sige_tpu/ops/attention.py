@@ -31,10 +31,10 @@ Execution:
   to QK^T; padded V columns are sliced off the output).
 
 **Measured on chip (v5 lite, 2026-08-19, scripts/measure_tpu.py,
-iters=50): flash LOSES across the board — naive stays the default.**
+iters=50): the STOCK kernel loses across the board.**
 
 =================  ==============  ==============
-benchmark          naive           flash
+benchmark          naive           stock flash
 =================  ==============  ==============
 SD UNet dense      24.68 ms        28.85 ms
 SD UNet sparse      5.19 ms         7.30 ms
@@ -44,16 +44,36 @@ VAE encoder dense   8.17 ms         8.04 ms
 VAE encoder sparse  1.44 ms         2.77 ms
 =================  ==============  ==============
 
-Why: SD head dims are 40/80/160 — the kernel needs 128-lane multiples,
-so padding to 128/128/256 wastes 1.6-3.2x of the QK^T/PV MXU work,
-which swamps the HBM saving (flash did cut the dense U-Net step's peak
-HBM 2288 -> 1869 MB; the only marginal wall win was encoder-dense,
-whose single 4096-token attention has head dim 512 -> no padding).
-A bespoke Pallas kernel tiled for d=40/80 could revisit this; the
-stock kernel is a measured negative result, kept opt-in
-(:func:`enable_flash_attention` / SIGE_FLASH_ATTN=1) for future chips.
-Calls silently fall back to naive when the toggle is off, the platform
-is not TPU, or sequence lengths don't tile (128-lane multiples).
+Why: SD head dims are 40/80/160 — the stock kernel needs 128-lane
+multiples, so padding to 128/128/256 wastes 1.6-3.2x of the QK^T/PV
+MXU work, which swamps the HBM saving. The stock kernel stays opt-in
+(SIGE_FLASH_ATTN=1) for future chips.
+
+The BESPOKE unpadded-head-dim kernel (ops/flash.py) was then measured
+per shape (v5 lite, 2026-08-20, scripts/microflash.py, iters=50):
+
+====================================  ========  ========  ======
+shape                                 naive     bespoke   ratio
+====================================  ========  ========  ======
+mha    B2 N4096 H8 D40 M4096          2.88 ms   1.90 ms   1.5x
+mha    B2 N1024 H8 D80 M1024          0.74 ms   0.98 ms   0.75x
+mha    B2 N256  H8 D160 M256          0.66 ms   1.09 ms   0.61x
+mha    B1 N4096 H1 D512 M4096         0.61 ms   0.80 ms   0.76x
+masked B2 N1024 D40 Ms4096 Mf1024     1.94 ms   1.17 ms   1.66x
+masked B2 N2048 D40 Ms4096 Mf2048     4.42 ms   1.86 ms   2.38x
+masked B2 N512  D80 Ms1024 Mf512      0.71 ms   0.61 ms   1.17x
+masked B2 N4096 D40 Ms4096 Mf4096     14.2 ms   4.10 ms   3.46x
+====================================  ========  ========  ======
+
+The pattern: the bespoke kernel wins exactly where naive's [Sq, Skv]
+logits dominate HBM traffic (large N*M at narrow D — the 64x64 SD
+level, and every masked stale-K/V chain join); it loses where the
+logits are small and its MXU lane waste (D<128 output columns) is the
+binding cost. The DEFAULT policy below dispatches bespoke only inside
+the measured-win region; everything else stays naive. Overrides:
+SIGE_FLASH_ATTN=0 forces naive, =1 the stock kernel, =sige the bespoke
+kernel everywhere viable. Calls silently fall back to naive when the
+platform is not TPU or sequence lengths don't tile.
 """
 
 from __future__ import annotations
@@ -68,31 +88,67 @@ NEG_INF = jnp.float32(-1e9)
 
 _FLASH_ENABLED = os.environ.get("SIGE_FLASH_ATTN", "0") in ("1", "interpret")
 _INTERPRET = os.environ.get("SIGE_FLASH_ATTN") == "interpret"
-# bespoke unpadded-head-dim kernel (ops/flash.py) — a separate toggle
-# from the stock kernel so each is measured on its own
+# bespoke unpadded-head-dim kernel (ops/flash.py) — force-everywhere
 _BESPOKE = os.environ.get("SIGE_FLASH_ATTN") == "sige"
+# measured per-shape policy (module docstring) — the default; =0 kills it
+_AUTO = os.environ.get("SIGE_FLASH_ATTN", "auto") in ("auto", "sige")
 
 
 def enable_flash_attention(on: bool = True, interpret: bool = False,
                            bespoke: bool = False) -> None:
     """Toggle the Pallas flash path globally (also: SIGE_FLASH_ATTN=1,
     or =sige for the bespoke unpadded-head-dim kernel in ops/flash.py).
-    ``interpret=True`` additionally runs the kernel in TPU interpret
-    mode so the flash path can be validated off-chip (slow; tests
-    only). Takes effect at trace time; jitted programs compiled earlier
-    keep the path they were traced with."""
+    ``enable_flash_attention(False)`` restores the measured per-shape
+    AUTO policy (the default); set SIGE_FLASH_ATTN=0 to force naive
+    everywhere. ``interpret=True`` additionally runs the kernel in TPU
+    interpret mode so the flash path can be validated off-chip (slow;
+    tests only). Takes effect at trace time; jitted programs compiled
+    earlier keep the path they were traced with."""
     global _FLASH_ENABLED, _INTERPRET, _BESPOKE
     _FLASH_ENABLED = bool(on) and not bespoke
     _BESPOKE = bool(on) and bespoke
     _INTERPRET = bool(interpret)
 
 
+def _on_tpu() -> bool:
+    """True on any TPU-ish backend (incl. the axon remote-dispatch
+    platform, whose backend name is not "tpu") or in interpret mode;
+    matches utils.platform.on_tpu's platform-not-cpu convention."""
+    if _INTERPRET:
+        return True
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except RuntimeError:
+        return False
+
+
 def _bespoke_viable(n: int, m: int) -> bool:
     if not _BESPOKE:
         return False
-    if not (_INTERPRET or jax.default_backend() == "tpu"):
+    if not _on_tpu():
         return False
     return n % 128 == 0 and m % 128 == 0
+
+
+def _auto_mha(n: int, m: int, d: int) -> bool:
+    """Measured-win region for the plain all-pairs form: naive's
+    [n, m] logits must be the dominant HBM term (big n*m) AND the
+    bespoke kernel's lane waste small enough (d <= 64). m % 512 keeps
+    the kv block >= 512 (bk=128 grids measured 3-5x slower)."""
+    if not (_AUTO and not _FLASH_ENABLED and not _BESPOKE and _on_tpu()):
+        return False
+    return (d <= 64 and n >= 2048 and m >= 2048
+            and n % 128 == 0 and m % 512 == 0)
+
+
+def _auto_masked(n: int, m: int, d: int) -> bool:
+    """Measured-win region for the masked stale-K/V chain form: the
+    stale map makes m large, so the logits term dominates much earlier
+    (wins from m ~1.5k at d<=128). Ragged n/m are fine — the dispatch
+    pads q rows (sliced off the output) and kv tokens (dead-biased)."""
+    if not (_AUTO and not _FLASH_ENABLED and not _BESPOKE and _on_tpu()):
+        return False
+    return d <= 128 and m >= 1536 and n >= 256
 
 
 def flash_attention_enabled() -> bool:
@@ -100,9 +156,7 @@ def flash_attention_enabled() -> bool:
 
 
 def _flash_viable(n: int, m: int, interpret: bool) -> bool:
-    if not (interpret or (_FLASH_ENABLED
-                          and (_INTERPRET
-                               or jax.default_backend() == "tpu"))):
+    if not (interpret or (_FLASH_ENABLED and _on_tpu())):
         return False
     # explicit 128-blocks are passed to the kernel (_block_sizes), so
     # lane-multiple sequence lengths always tile regardless of the JAX
@@ -178,7 +232,8 @@ def mha(q, k, v, heads: int, dim_head: int, *,
     vh = v.reshape(B, M, nh, hd)
     scale = hd ** -0.5
     mp = -(-M // 128) * 128  # ragged KV (e.g. 77 text tokens) pads to a
-    if _bespoke_viable(N, mp):  # unpadded-head-dim kernel (ops/flash.py)
+    if (_bespoke_viable(N, mp)  # unpadded-head-dim kernel (ops/flash.py)
+            or _auto_mha(N, mp, hd)):
         from .flash import flash_mha
 
         bias = None
@@ -220,7 +275,7 @@ def masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, heads: int,
     nh, hd = heads, dim_head
     qh = q.reshape(B, N, nh, hd)
     scale = hd ** -0.5
-    if _bespoke_viable(N, Ms + Mf):
+    if (_BESPOKE and _on_tpu()) or _auto_masked(N, Ms + Mf, hd):
         from .flash import flash_mha
 
         kh = jnp.concatenate(
@@ -229,9 +284,24 @@ def masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, heads: int,
         vh = jnp.concatenate(
             [vs.reshape(B, Ms, nh, hd).astype(qh.dtype),
              vf.reshape(B, Mf, nh, hd).astype(qh.dtype)], axis=1)
-        out = flash_mha(qh, kh, vh, scale,
-                        bias=jnp.concatenate([bias_s, bias_f]),
+        bias = jnp.concatenate([bias_s, bias_f])
+        # ragged shapes tile by padding: dead-biased kv tokens up to a
+        # 512-multiple (big kv blocks — bk=128 grids measured 3-5x
+        # slower) and zero q rows up to a 128-multiple, sliced off the
+        # output (they attend over live tokens; no NaN)
+        Mt, Np = Ms + Mf, -(-N // 128) * 128
+        Mp = -(-Mt // 512) * 512
+        if Mp != Mt:
+            pad = ((0, 0), (0, Mp - Mt), (0, 0), (0, 0))
+            kh, vh = jnp.pad(kh, pad), jnp.pad(vh, pad)
+            bias = jnp.concatenate(
+                [bias, jnp.full((Mp - Mt,), -1e9, jnp.float32)])
+        qp = (qh if Np == N
+              else jnp.pad(qh, ((0, 0), (0, Np - N), (0, 0), (0, 0))))
+        out = flash_mha(qp, kh, vh, scale, bias=bias,
                         interpret=_INTERPRET)
+        if Np != N:
+            out = out[:, :N]
         return out.reshape(B, N, nh * hd)
     if _flash_viable(N, Ms + Mf, _interpret):
         kh = jnp.concatenate(

@@ -39,7 +39,7 @@ NEG_INF = -1e30
 
 
 def _pick_block(s: int, want: int) -> int:
-    for b in (want, 512, 256, 128):
+    for b in (want, 1024, 512, 256, 128):
         if b <= want and s % b == 0:
             return b
     return 128
@@ -79,14 +79,20 @@ def _fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def flash_mha_bhsd(q, k, v, bias, *, scale: float, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "block_q",
+                                    "block_k"))
+def flash_mha_bhsd(q, k, v, bias, *, scale: float, interpret: bool = False,
+                   block_q: int = 0, block_k: int = 0):
     """q [G, N, D], k/v [G, M, D] (G = B*H folded), bias [1, M] float32.
-    Returns [G, N, D] in q's dtype. N, M must be 128-multiples."""
+    Returns [G, N, D] in q's dtype. N, M must be 128-multiples.
+    block_q/block_k override the default tile picks (tuning)."""
     G, N, D = q.shape
     M = k.shape[1]
-    bq = _pick_block(N, 512)
-    bk = _pick_block(M, 512)
+    # measured on v5e (scripts/microflash.py): 1024/1024 beats 512/512
+    # at every win-region shape (D40 N4096: 1.90 vs 2.63 ms)
+    bq = block_q or _pick_block(N, 1024)
+    bk = block_k or _pick_block(M, 1024)
     nk = M // bk
     grid = (G, N // bq, nk)
     kernel = functools.partial(_fwd_kernel, scale=float(scale), nk=nk)

@@ -124,7 +124,7 @@ def window_scatter_gather(
     ``pad`` (static (pr, pc)) is the conv's padding — the fresh window
     sits at that static offset inside the ring window.
     """
-    base = _extract_window(cache, meta, edge)
+    base = _extract_window(cache, meta, edge).astype(h_win.dtype)
     return _wsg_tail(base, h_win, cov, pad,
                      None if _fast(meta) else edge, scale, shift,
                      activation, activation_first)
@@ -162,8 +162,11 @@ def window_scatter_gather_slot(
     activation_first: bool = False,
 ) -> jnp.ndarray:
     """:func:`window_scatter_gather` reading the ring straight from the
-    slotted cache variable (avoids the full-canvas slot-squeeze copy)."""
+    slotted cache variable (avoids the full-canvas slot-squeeze copy).
+    Narrow-storage caches (SIGECtx.cache_dtype) cast back to the fresh
+    window's compute dtype here, fused into the slice."""
     base = _extract_window_slot(cache5, cache_id, meta, edge)
+    base = base.astype(h_win.dtype)
     return _wsg_tail(base, h_win, cov, pad,
                      None if _fast(meta) else edge, scale, shift,
                      activation, activation_first)
@@ -237,15 +240,17 @@ def _extract_window_slot(cache5: jnp.ndarray, cache_id, meta: jnp.ndarray,
 
 
 def window_slot_window(cache5: jnp.ndarray, cache_id, org: jnp.ndarray,
-                       shape) -> jnp.ndarray:
+                       shape, dtype=None) -> jnp.ndarray:
     """[B, WH, WW, C] in-bounds window of slot ``cache_id`` at ``org``
-    (canonical windows are always in-image; no clamp/roll needed)."""
+    (canonical windows are always in-image; no clamp/roll needed).
+    ``dtype`` casts a narrow-storage cache back to the compute dtype."""
     S, B, H, W, C = cache5.shape
     WH, WW = shape
     zero = jnp.int32(0)
-    return jax.lax.dynamic_slice(
+    out = jax.lax.dynamic_slice(
         cache5, (jnp.int32(cache_id), zero, org[0], org[1], zero),
         (1, B, WH, WW, C))[0]
+    return out if dtype is None else out.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("activation", "activation_first", "rel"))
@@ -273,6 +278,7 @@ def window_chain_extend(
     2-form ``meta`` the overlay then becomes a statically-padded select
     that fuses into the epilogue instead of an update-copy."""
     ext = _extract_window_slot(cache5, cache_id, meta, edge)
+    ext = ext.astype(win.dtype)  # narrow-storage cache -> compute dtype
     if _fast(meta) and rel is not None:
         B, EH, EW, C = ext.shape
         WH, WW = win.shape[1:3]
@@ -352,13 +358,15 @@ def window_chain_extend_up2(
 def window_state_materialize(cache5: jnp.ndarray, cache_id,
                              win: jnp.ndarray, org: jnp.ndarray) -> jnp.ndarray:
     """Chain break: overlay the carried window over the full cached map
-    (the one full-canvas copy a chain pays, at its very end)."""
+    (the one full-canvas copy a chain pays, at its very end). The
+    materialized map is in the CARRIED window's compute dtype (a
+    narrow-storage cache upcasts, fused into the slice)."""
     S = cache5.shape[0]
     base = jax.lax.dynamic_slice(
         cache5, (jnp.int32(cache_id),) + (jnp.int32(0),) * 4,
-        (1,) + cache5.shape[1:])[0]
+        (1,) + cache5.shape[1:])[0].astype(win.dtype)
     zero = jnp.int32(0)
-    return jax.lax.dynamic_update_slice(base, win.astype(base.dtype),
+    return jax.lax.dynamic_update_slice(base, win,
                                         (zero, org[0], org[1], zero))
 
 

@@ -197,6 +197,29 @@ def test_bespoke_flash_masked_mha_matches_naive(nh, hd):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_bespoke_flash_masked_mha_ragged_shapes():
+    """The sparse chain's real shapes are ragged (N = WH*WW window
+    tokens, M = full map + window): the dispatch pads q rows (sliced
+    off) and kv tokens (dead-biased) up to the kernel lattice."""
+    nh, hd = 2, 40
+    B, N, Ms, Mf = 1, 300, 1300, 300
+    rng = np.random.default_rng(2)
+    q = _rand(44, B, N, nh * hd)
+    ks = _rand(45, B, Ms, nh * hd)
+    vs = _rand(46, B, Ms, nh * hd)
+    kf = _rand(47, B, Mf, nh * hd)
+    vf = _rand(48, B, Mf, nh * hd)
+    dead_s = np.zeros(Ms, bool)
+    dead_s[rng.choice(Ms, Mf, replace=False)] = True
+    bias_s = jnp.where(jnp.asarray(dead_s), NEG_INF, 0.0)
+    bias_f = jnp.zeros(Mf)
+    want = masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, nh, hd)
+    got = _with_bespoke(
+        lambda: masked_mha(q, ks, vs, kf, vf, bias_s, bias_f, nh, hd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_bespoke_flash_falls_back_on_odd_lengths():
     B, nh, hd = 1, 1, 32
     q = _rand(41, B, 100, nh * hd)
