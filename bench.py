@@ -232,6 +232,10 @@ def bench_gaugan(iters):
         "sparse_ms": round(sparse["latency_ms"], 2),
         "dense_gmacs": round(dense["macs_g"], 1),
         "sparse_gmacs": round(sparse["macs_g"], 1),
+        **({"hbm_dense_mb": dense["hbm"]["peak_mb"],
+            "hbm_dense": dense["hbm"]} if dense.get("hbm") else {}),
+        **({"hbm_sparse_mb": sparse["hbm"]["peak_mb"],
+            "hbm_sparse": sparse["hbm"]} if sparse.get("hbm") else {}),
     }
 
 
@@ -263,6 +267,10 @@ def bench_gaugan_gc(iters):
         "sparse_ms": round(sparse["latency_ms"], 2),
         "dense_gmacs": round(dense["macs_g"], 1),
         "sparse_gmacs": round(sparse["macs_g"], 1),
+        **({"hbm_dense_mb": dense["hbm"]["peak_mb"],
+            "hbm_dense": dense["hbm"]} if dense.get("hbm") else {}),
+        **({"hbm_sparse_mb": sparse["hbm"]["peak_mb"],
+            "hbm_sparse": sparse["hbm"]} if sparse.get("hbm") else {}),
     }
 
 
@@ -286,6 +294,10 @@ def bench_pd(iters):
         "sparse_ms": round(sparse["latency_ms"], 2),
         "dense_gmacs": round(dense["macs_g"], 1),
         "sparse_gmacs": round(sparse["macs_g"], 1),
+        **({"hbm_dense_mb": dense["hbm"]["peak_mb"],
+            "hbm_dense": dense["hbm"]} if dense.get("hbm") else {}),
+        **({"hbm_sparse_mb": sparse["hbm"]["peak_mb"],
+            "hbm_sparse": sparse["hbm"]} if sparse.get("hbm") else {}),
     }
 
 
@@ -309,6 +321,10 @@ def bench_ddpm(iters):
         "sparse_ms": round(sparse["latency_ms"], 2),
         "dense_gmacs": round(dense["macs_g"], 1),
         "sparse_gmacs": round(sparse["macs_g"], 1),
+        **({"hbm_dense_mb": dense["hbm"]["peak_mb"],
+            "hbm_dense": dense["hbm"]} if dense.get("hbm") else {}),
+        **({"hbm_sparse_mb": sparse["hbm"]["peak_mb"],
+            "hbm_sparse": sparse["hbm"]} if sparse.get("hbm") else {}),
     }
 
 

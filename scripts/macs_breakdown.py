@@ -1,130 +1,97 @@
-"""Per-module MACs breakdown for any bench family (VERDICT r4 item 2).
+"""Per-layer MACs breakdown for one family, dense vs sparse.
 
-Runs one apply with the "profile" collection mutable and prints the
-per-module-path analytic MACs for dense AND sparse mode side by side —
-the tool the reference gets from torchprofile's traced table
-(reference: diffusion/runner.py --mode profile), here exact at trace
-time (sige_tpu.nn.module.sow_macs).
+VERDICT r4 item 2: PD's sparse MACs ratio (2.7x) sits far below the
+reference's published 7-18x band — this tool shows exactly WHERE the
+sparse MACs stay dense. Every conv/dense/bmm site sows its analytic MACs
+(a trace-time constant: sige_tpu/nn/module.py sow_macs), so the whole
+breakdown comes from ONE abstract trace per mode via jax.eval_shape —
+no device work, no compile.
 
-Usage:
-    python scripts/macs_breakdown.py --family pd [--top 40]
+    JAX_PLATFORMS=cpu python scripts/macs_breakdown.py --family pd
+    ... --group 3   # aggregate module paths to depth 3
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
+import os
+import sys
 
-import numpy as np
-
-
-def _collect(module, variables, args, ctx):
-    import jax
-
-    def f(v, a):
-        return module.apply(v, *a, ctx=ctx,
-                            mutable=["profile", "cache", "meta"])
-
-    _, mut = jax.jit(f)(variables, args)
-    rows = {}
-
-    def walk(node, path):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                walk(v, path + (k,))
-        else:
-            rows[path] = rows.get(path, 0.0) + float(np.sum(np.asarray(node)))
-
-    walk(mut["profile"], ())
-    return rows
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _family(name):
-    """Returns (module, variables, args) with a planned ~1.2% edit."""
-    import jax
-    import jax.numpy as jnp
-
-    from sige_tpu.core.masks import dilate_mask, downsample_mask
-    from sige_tpu.nn import SIGEModel
-
-    rng = np.random.default_rng(0)
-
-    def edit_mask(R, pct=1.2, dilate=5):
-        mask = np.zeros((R, R), bool)
-        side = int(round((pct / 100.0 * R * R) ** 0.5))
-        r = R // 2 - side // 2
-        mask[r:r + side, r:r + side] = True
-        return dilate_mask(mask, dilate) if dilate else mask
-
-    if name in ("pd", "ddpm"):
-        if name == "pd":
-            from sige_tpu.models.pd import PDUNetConfig, SIGEPDUNet
-
-            cfg = PDUNetConfig()
-            module = SIGEPDUNet(cfg=cfg)
-        else:
-            from sige_tpu.models.ddpm import DDPMUNetConfig, SIGEFusedUNet
-
-            cfg = DDPMUNetConfig()
-            module = SIGEFusedUNet(cfg=cfg)
-        model = SIGEModel(module, layout="window")
-        R = cfg.resolution
-        x = jnp.asarray(rng.standard_normal((1, R, R, 3)).astype(np.float32))
-        t = jnp.zeros((1,), jnp.float32)
-        model.init(jax.random.key(0), x, t)
-        model.full(x, t)
-        min_res = R // (2 ** (len(cfg.ch_mult) - 1))
-        model.set_masks(downsample_mask(edit_mask(R), min_res=min_res))
-        return model, (x, t)
-    if name == "sd":
-        from sige_tpu.models.sd import SDUNetConfig, SIGESDUNet
-
-        cfg = SDUNetConfig()
-        model = SIGEModel(SIGESDUNet(cfg=cfg), layout="window")
-        x = jnp.asarray(rng.standard_normal((2, 64, 64, 4)).astype(np.float32))
-        t = jnp.full((2,), 17.0, jnp.float32)
-        c = jnp.asarray(rng.standard_normal((2, 77, 768)).astype(np.float32))
-        model.init(jax.random.key(0), x, t, c)
-        model.full(x, t, c)
-        model.set_masks(downsample_mask(edit_mask(512), min_res=8))
-        return model, (x, t, c)
-    raise SystemExit(f"unknown family {name}")
+def _build(family, dtype):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_sparse import _build as pb
+    return pb(family, dtype)
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--family", default="pd", choices=["pd", "ddpm", "sd"])
-    ap.add_argument("--top", type=int, default=60)
-    args = ap.parse_args()
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", default="pd",
+                   choices=["ddpm", "pd", "gaugan", "sd", "decoder",
+                            "encoder"])
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--group", type=int, default=2,
+                   help="module-path depth to aggregate at")
+    p.add_argument("--top", type=int, default=40)
+    args = p.parse_args()
 
     from sige_tpu.nn.module import SIGECtx
 
-    model, fargs = _family(args.family)
-    variables = {"params": model.params, "cache": model.cache,
-                 "sige": model.plan}
-    dense = _collect(model.module, variables, fargs, SIGECtx(mode="dense"))
-    sparse = _collect(model.module, variables, fargs, SIGECtx(mode="sparse"))
+    step, dense, v, x = _build(args.family, args.dtype)
 
-    # group per top-level block path (drop the trailing sow leaf name)
-    def group(rows, depth=3):
-        out = {}
-        for path, v in rows.items():
-            key = "/".join(p for p in path[:-1] if p != "macs")[:90] or "root"
-            out[key] = out.get(key, 0.0) + v
-        return out
+    # The profile_sparse builders return closures that call module.apply
+    # with the right ctx; eval_shape them with sow_macs patched — every
+    # sown MACs value is a trace-time constant, so the whole breakdown
+    # costs one abstract trace per mode (no device work, no compile).
+    import jax
 
-    gd, gs = group(dense), group(sparse)
-    keys = sorted(set(gd) | set(gs), key=lambda k: -(gd.get(k, 0.0)))
-    print(f"{'module path':70s} {'dense G':>10s} {'sparse G':>10s} {'ratio':>7s}")
-    shown = 0
-    for k in keys:
-        d, s = gd.get(k, 0.0) / 1e9, gs.get(k, 0.0) / 1e9
-        if shown < args.top:
-            r = (d / s) if s else float("inf")
-            print(f"{k:70s} {d:10.2f} {s:10.2f} {r:7.1f}")
-            shown += 1
-    print(f"{'TOTAL':70s} {sum(gd.values())/1e9:10.2f} "
-          f"{sum(gs.values())/1e9:10.2f} "
-          f"{sum(gd.values())/max(sum(gs.values()),1):7.1f}")
+    from sige_tpu.nn import module as M
+
+    def run(fn, tag):
+        rows = []
+        orig = M.sow_macs
+
+        def patched(mod, n):
+            rows.append(("/".join(str(p) for p in mod.path), int(n)))
+            orig(mod, n)
+
+        M.sow_macs = patched
+        try:
+            jax.eval_shape(fn, v, x)
+        finally:
+            M.sow_macs = orig
+        total = sum(n for _, n in rows)
+        print(f"\n== {args.family} {tag}: {total/1e9:.2f} GMACs over "
+              f"{len(rows)} sites ==")
+        return rows, total
+
+    sparse_rows, sparse_total = run(step, "sparse")
+    dense_rows, dense_total = run(dense, "dense")
+    print(f"\nratio: {dense_total/max(sparse_total,1):.2f}x")
+
+    def agg(rows):
+        g = collections.Counter()
+        for path, n in rows:
+            parts = path.split("/")
+            g["/".join(parts[:args.group])] += n
+        return g
+
+    gs, gd = agg(sparse_rows), agg(dense_rows)
+    print(f"\n{'module (depth '+str(args.group)+')':<44} "
+          f"{'dense G':>9} {'sparse G':>9} {'ratio':>6} {'% of sparse':>11}")
+    for path, sn in sorted(gs.items(), key=lambda kv: -kv[1])[:args.top]:
+        dn = gd.get(path, 0)
+        r = dn / sn if sn else float("inf")
+        print(f"{path:<44} {dn/1e9:>9.2f} {sn/1e9:>9.2f} {r:>6.2f} "
+              f"{100*sn/max(sparse_total,1):>10.1f}%")
+    only_dense = {p: n for p, n in gd.items() if p not in gs}
+    if only_dense:
+        print("\n-- dense-only sites (0 sparse MACs) --")
+        for pth, n in sorted(only_dense.items(), key=lambda kv: -kv[1])[:10]:
+            print(f"{pth:<44} {n/1e9:>9.2f}")
 
 
 if __name__ == "__main__":

@@ -142,7 +142,14 @@ def _build(family, dtype):
 
 
 _CATS = (
-    ("convolution", re.compile(r"convolution|conv(?:\d|_)|%conv")),
+    # Fusions whose operands include a [kh,kw,Cin,Cout] conv weight ARE
+    # the convolutions (XLA lowers small-window convs to select/bitcast
+    # matmul fusions on TPU); without this they miscategorize as
+    # copy/transpose via the "bitcast" in their fused op name — the
+    # round-4 "69% copy" red herring.
+    ("convolution", re.compile(
+        r"convolution|conv(?:\d|_)|%conv"
+        r"|fusion\((?:bf16|f32)\[[13],[13],\d+,\d+\]")),
     ("matmul/dot", re.compile(r"\bdot\b|dot_general|einsum")),
     ("dynamic-slice", re.compile(r"dynamic.slice(?!.*update)|dynamic_slice(?!_update)")),
     ("dynamic-update-slice", re.compile(r"dynamic.update.slice|dynamic_update_slice")),
@@ -174,6 +181,41 @@ def profile(step, v, x, iters, outdir, top):
         for _ in range(iters):
             y = step(v, x)
         device_sync(y)
+    _report(outdir, iters, top)
+
+
+def profile_scan(step, v, x, length, iters, outdir, top):
+    """Trace the step inside a fused lax.scan trajectory — the bench /
+    production execution model (utils.scan_timed). Loop-invariant work
+    (weight relayout copies, plan uploads) hoists OUT of the loop here,
+    exactly as it does in the wall numbers; per-step attribution divides
+    by length*iters, so hoisted ops show at their amortized cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from sige_tpu.utils import device_sync
+
+    def scanned(v, x):
+        def body(acc, _):
+            out = step(v, x + acc.astype(x.dtype))
+            leaf = jax.tree.leaves(out)[0]
+            return (jnp.float32(1e-30)
+                    * jnp.mean(leaf).astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+        return acc
+
+    f = jax.jit(scanned)
+    device_sync(f(v, x))  # compile outside the trace
+    with jax.profiler.trace(outdir):
+        y = None
+        for _ in range(iters):
+            y = f(v, x)
+        device_sync(y)
+    _report(outdir, length * iters, top)
+
+
+def _report(outdir, iters, top):
+    import jax  # noqa: F401
 
     files = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -240,6 +282,10 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--scan", type=int, default=0, metavar="LEN",
+                   help="trace inside a lax.scan trajectory of LEN steps "
+                        "(the bench execution model) instead of "
+                        "individual dispatches")
     p.add_argument("--outdir", default=None)
     args = p.parse_args()
 
@@ -252,7 +298,12 @@ def main():
     fn = jax.jit(step if args.mode == "sparse" else dense)
     outdir = args.outdir or tempfile.mkdtemp(prefix=f"sige_prof_{args.family}_")
     print(f"trace dir: {outdir}")
-    profile(fn, v, x, args.iters, outdir, args.top)
+    if args.scan:
+        profile_scan(step if args.mode == "sparse" else dense, v, x,
+                     args.scan, max(args.iters // args.scan, 1), outdir,
+                     args.top)
+    else:
+        profile(fn, v, x, args.iters, outdir, args.top)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ ROWS = [
     ("sd_vae_encoder_512", "SD VAE encoder @512"),
     ("ddpm_church256", "DDPM church256 U-Net"),
     ("gaugan_512x256", "GauGAN 512x256"),
+    ("gaugan_gc_512x256", "GauGAN + GAN-Compression 512x256"),
     ("pd_church256", "PD church256"),
 ]
 
@@ -36,6 +37,7 @@ MACS_ROWS = [
     ("sd_vae_encoder_512", "SD VAE encoder MACs"),
     ("ddpm_church256", "DDPM church256 MACs"),
     ("gaugan_512x256", "GauGAN MACs"),
+    ("gaugan_gc_512x256", "GauGAN + GAN-Compression MACs"),
     ("pd_church256", "PD MACs"),
 ]
 
